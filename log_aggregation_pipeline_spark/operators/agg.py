@@ -1,0 +1,128 @@
+"""Aggregations (SURVEY.md §2.5).
+
+Query-engine parity (A1-A3 from
+/root/reference/internal/server/query/query.go):
+
+- A1 count            -> ``count_all``
+- A2 terms            -> ``terms_agg``   (query.go:130-166)
+- A3 date_histogram   -> ``date_histogram`` (query.go:169-200)
+- A4 conv-hour        -> ``conv_hour_agg`` (+ salted two-phase variant)
+- A5 declared extras  -> ``stats_agg`` (sum/avg/min/max/percentile/
+                         cardinality, blueprint.md:368-378)
+
+Deliberate deviation (SURVEY.md §2.5 caveat): the reference aggregates
+the post-limit page (query.go:107 -> store.go:209-213), so its counts
+are over at most ``limit`` arbitrary rows.  We aggregate the full
+filtered set — SQL-correct and oracle-checkable.  The quirk is
+reproduced only in ``limited_terms_agg_compat`` for documentation.
+
+Scale notes: every aggregate here is a hash aggregate with map-side
+partial combine (free from Catalyst).  The conv-hour aggregate keys on
+(conv_id, hour) — conv_id is the skew axis at 10^12 turns, so
+``conv_hour_agg(salted=True)`` splits hot keys across ``n_salt``
+partial groups and merges; count/min/max are associative so the
+two-phase result is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count_all(df: DataFrame) -> DataFrame:
+    return df.agg(F.count("*").alias("n"))
+
+
+def terms_agg(df: DataFrame, field: str, limit: int | None = None) -> DataFrame:
+    """Group by a field's value -> {key, count} buckets, biggest first.
+
+    Mirrors query.go:130-166 including the skip of NULL/empty values
+    (query.go:158: ``if value != ""``).  Ties broken by key for
+    determinism (the reference emits map-ordered buckets — unordered)."""
+    out = (
+        df.filter(F.col(field).isNotNull() & (F.col(field) != ""))
+        .groupBy(F.col(field).alias("key"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("key"))
+    )
+    return out.limit(limit) if limit else out
+
+
+def date_histogram(
+    df: DataFrame, ts_col: str = "ts", interval: str = "hour"
+) -> DataFrame:
+    """Bucket by truncated timestamp -> {bucket, count}.
+
+    interval ∈ {minute, hour, day} (query.go:174-183; default hour)."""
+    if interval not in ("minute", "hour", "day"):
+        interval = "hour"
+    return (
+        df.groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("bucket")
+    )
+
+
+def stats_agg(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """The blueprint's declared aggregation set (A5)."""
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(value_col).alias("sum_v"),
+        F.avg(value_col).alias("avg_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+        F.percentile_approx(value_col, 0.95).alias("p95_v"),
+        F.approx_count_distinct(value_col).alias("approx_distinct_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: per-sink conv-hour aggregate — the north-rule correctness gate.
+# ---------------------------------------------------------------------------
+def conv_hour_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    salted: bool = False,
+    n_salt: int = 16,
+) -> DataFrame:
+    """(conv_id, hour) -> count/min(ts)/max(ts).
+
+    ``salted=True`` runs the two-phase variant: phase 1 groups on
+    (conv_id, hour, salt) where salt spreads a hot conv_id's rows over
+    ``n_salt`` reducers; phase 2 merges partials.  Exact because
+    count=sum(counts), min=min(mins), max=max(maxs) are associative.
+    Use when a conv_id exceeds ~1 partition of rows; for uniform data
+    the plain hash aggregate's map-side combine is already optimal.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    if not salted:
+        return df.groupBy("conv_id", hour).agg(
+            F.count("*").alias("n_turns"),
+            F.min(ts_col).alias("min_ts"),
+            F.max(ts_col).alias("max_ts"),
+        )
+    # Salt from turn_idx (uniform within a conversation), not random()
+    # — determinism is a hard requirement (SURVEY.md §7).
+    salt = (F.col("turn_idx") % n_salt).alias("_salt")
+    partial = df.groupBy("conv_id", hour, salt).agg(
+        F.count("*").alias("_n"),
+        F.min(ts_col).alias("_min"),
+        F.max(ts_col).alias("_max"),
+    )
+    return partial.groupBy("conv_id", "hour").agg(
+        F.sum("_n").alias("n_turns"),
+        F.min("_min").alias("min_ts"),
+        F.max("_max").alias("max_ts"),
+    )
+
+
+def limited_terms_agg_compat(
+    df: DataFrame, field: str, limit: int, ts_col: str = "ts"
+) -> DataFrame:
+    """Reference-quirk reproduction (documentation only): terms agg
+    over the first ``limit`` rows, as query.go:107 + store.go:209-213
+    actually compute.  The reference's "first" is partition-iteration
+    order (nondeterministic); we pin ts order to make it testable."""
+    page = df.orderBy(ts_col).limit(limit)
+    return terms_agg(page, field)

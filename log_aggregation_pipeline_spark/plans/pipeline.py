@@ -1,0 +1,234 @@
+"""The end-to-end DAG: parse -> enrich -> route -> aggregate.
+
+Replaces the reference's entire agent/server dataflow
+(/root/reference/README.md:155-161: INPUT→COLLECT→BUFFER→SHIP→RECEIVE→
+PARSE→PROCESS→STORE→QUERY) with one Spark job:
+
+    scan transcripts
+      -> vectorized parse (Arrow pandas UDF)       [narrow]
+      -> broadcast enrich (role/tool lookups)      [narrow]
+      -> tag rows with their sink set, explode     [narrow — the
+         "tag-driven fan-out" made literal: a row in k sinks becomes
+         k tagged rows]
+      -> ONE write, partitioned by sink, clustered by hour [narrow]
+      -> per sink: conv-hour aggregate             [one shuffle each]
+
+Everything before the aggregates is narrow, so the job scales linearly
+with input partitions; the aggregates are the only shuffles.
+
+Storage layout is Iceberg-style (snapshot = run):
+
+    out/sinks/run=<run_id>/sink=<name>/part-*.parquet
+    out/_lineage/<sink>__<run_id>.json   (atomic commit, per-hour rows)
+
+A reader consults the lineage manifests and reads only committed run
+dirs; a write that crashed before its manifest is invisible and its
+orphan dir is garbage-collected at the next run.  Data files are
+sorted by (sink, hour_key) inside each task so parquet row-group
+min/max stats on ``ts`` give time-range pruning without a physical
+directory per hour (the reference's per-hour files, store.go:298-324,
+become metadata).  hour_key keeps the reference's partition-key format
+``yyyy-MM-dd-HH`` (store.go:301).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.agg import conv_hour_agg
+from ..operators.enrich import enrich
+from ..operators.parse import parse_transcripts
+from ..operators.route import ROUTES
+from . import lineage as L
+
+HOUR_KEY_FMT = "yyyy-MM-dd-HH"
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the fault-injection hook in resume tests."""
+
+
+@dataclass
+class PipelineResult:
+    out_dir: str
+    run_id: str
+    sink_counts: dict[str, int] = field(default_factory=dict)
+    committed: dict[str, list[str]] = field(default_factory=dict)  # sink -> hours
+    skipped: dict[str, list[str]] = field(default_factory=dict)
+
+
+def parsed_view(
+    spark: SparkSession, transcripts: DataFrame, impl: str = "pandas"
+) -> DataFrame:
+    """parse + enrich, with the hour partition key attached."""
+    parsed = parse_transcripts(transcripts, impl=impl)
+    parsed = enrich(parsed)
+    return parsed.withColumn("hour_key", F.date_format("ts", HOUR_KEY_FMT))
+
+
+def tagged_view(parsed: DataFrame) -> DataFrame:
+    """Fan-out: one row per (input row, matching sink)."""
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(route.spark_pred(), F.lit(name))
+                for name, route in ROUTES.items()
+            ]
+        )
+    )
+    return parsed.withColumn("sink", F.explode(tags))
+
+
+def sinks_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "sinks")
+
+
+def _committed_run_paths(out_dir: str, sink: str) -> list[str]:
+    man = L.read_manifest(out_dir)
+    rows = man[(man["sink"] == sink)]
+    paths = []
+    for rid in rows["run_id"].unique():
+        p = os.path.join(sinks_root(out_dir), f"run={rid}", f"sink={sink}")
+        if os.path.isdir(p):
+            paths.append(p)
+    return paths
+
+
+def read_sink(spark: SparkSession, out_dir: str, sink: str) -> DataFrame:
+    """Committed rows of one sink (manifest-gated, like an Iceberg scan)."""
+    paths = _committed_run_paths(out_dir, sink)
+    if not paths:
+        raise FileNotFoundError(f"no committed data for sink {sink!r} in {out_dir}")
+    return (
+        spark.read.option("basePath", sinks_root(out_dir))
+        .parquet(*paths)
+        .drop("run", "sink")
+    )
+
+
+def gc_orphan_runs(out_dir: str) -> list[str]:
+    """Delete run dirs no manifest references (crashed writes)."""
+    root = sinks_root(out_dir)
+    if not os.path.isdir(root):
+        return []
+    live = set(L.read_manifest(out_dir)["run_id"].unique())
+    removed = []
+    for d in os.listdir(root):
+        if d.startswith("run=") and d.split("=", 1)[1] not in live:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    impl: str = "pandas",
+    salted_agg: bool = False,
+    fail_after_sinks: int | None = None,
+    write_aggs: bool = True,
+) -> PipelineResult:
+    """Run (or resume) the full parse->enrich->route->aggregate job.
+
+    Resume is implicit: (sink, hour) pairs already committed are
+    filtered out before the write, so re-running after a crash
+    completes exactly the missing partitions; orphan run dirs from a
+    crashed write are garbage-collected.  Aggregates recompute from
+    the committed sink tables whenever a resume happened, so
+    interrupted+resumed and clean runs produce identical aggregates.
+
+    ``fail_after_sinks=k`` raises after k sink manifests committed
+    (tests) — data for the remaining sinks is on disk but invisible
+    until its manifest lands.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    res = PipelineResult(out_dir=out_dir, run_id=run_id)
+    gc_orphan_runs(out_dir)
+
+    spark.conf.set("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+
+    parsed = parsed_view(spark, transcripts, impl=impl).persist()
+    try:
+        tagged = tagged_view(parsed)
+
+        # Resume filter: drop already-committed (sink, hour) pairs.
+        excludes = []
+        for name in ROUTES:
+            done = L.committed_hours(out_dir, name)
+            res.skipped[name] = sorted(done)
+            if done:
+                excludes.append(
+                    (F.col("sink") == name) & F.col("hour_key").isin(*done)
+                )
+        pending = (
+            tagged.filter(~reduce(lambda a, b: a | b, excludes))
+            if excludes
+            else tagged
+        )
+
+        # Lineage stats: ONE aggregate over every (sink, hour) written.
+        stat_rows = (
+            pending.groupBy("sink", "hour_key")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            )
+            .collect()
+        )
+        records: dict[str, list[dict]] = {name: [] for name in ROUTES}
+        for r in stat_rows:
+            records[r["sink"]].append(
+                {
+                    "hour_key": r["hour_key"],
+                    "n_rows": r["n_rows"],
+                    "min_ts": str(r["min_ts"]),
+                    "max_ts": str(r["max_ts"]),
+                }
+            )
+
+        # ONE fan-out write, hour-clustered within each task file.
+        if any(records.values()):
+            (
+                pending.sortWithinPartitions("sink", "hour_key")
+                .write.mode("overwrite")
+                .partitionBy("sink")
+                .parquet(os.path.join(sinks_root(out_dir), f"run={run_id}"))
+            )
+
+        # Commit manifests sink-by-sink (the resume checkpoint points).
+        for i, name in enumerate(ROUTES):
+            if fail_after_sinks is not None and i >= fail_after_sinks:
+                raise InjectedFailure(f"injected failure before sink {name} commit")
+            recs = sorted(records[name], key=lambda r: r["hour_key"])
+            if recs:
+                L.commit_sink_run(out_dir, name, run_id, recs)
+            res.committed[name] = [r["hour_key"] for r in recs]
+
+        # Aggregate stage.  Clean run: aggregate the cached parsed view.
+        # Resumed run: read back committed table (covers prior runs).
+        if write_aggs:
+            manifest = L.read_manifest(out_dir)
+            for name in ROUTES:
+                if res.skipped[name]:
+                    sink_df = read_sink(spark, out_dir, name)
+                else:
+                    sink_df = parsed.filter(ROUTES[name].spark_pred())
+                agg = conv_hour_agg(sink_df, salted=salted_agg)
+                agg.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "aggs", f"{name}_conv_hour")
+                )
+                res.sink_counts[name] = int(
+                    manifest.loc[manifest["sink"] == name, "n_rows"].sum()
+                )
+    finally:
+        parsed.unpersist()
+    return res

@@ -1,0 +1,1 @@
+"""Scans, sources and sinks (SURVEY.md §2.1)."""
