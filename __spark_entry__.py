@@ -13,19 +13,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log_aggregation_pipeline_spark import oracle
+from log_aggregation_pipeline_spark.operators import (
+    dedupe,
+    multimodal,
+    similarity,
+    text_analysis,
+)
 from log_aggregation_pipeline_spark.operators.agg import (
     conv_hour_agg,
     date_histogram,
+    stats_agg,
     terms_agg,
 )
 from log_aggregation_pipeline_spark.operators.enrich import enrich
 from log_aggregation_pipeline_spark.operators.order import with_turn_order
 from log_aggregation_pipeline_spark.operators.parse import parse_transcripts
+from log_aggregation_pipeline_spark.operators.query import (
+    SearchQuery,
+    get_by_id,
+    search,
+)
 from log_aggregation_pipeline_spark.operators.route import ROUTES, route_one
+from log_aggregation_pipeline_spark.operators.transform import build_chain
 from log_aggregation_pipeline_spark.sources.transcripts import (
     transcripts_cte,
     transcripts_from_events,
 )
+
+# fixed query parameters (shared by Spark + oracle sides)
+JACCARD_K, JACCARD_T = 3, 0.4
+EMB_NEAR_T = 0.3
+ANN_QUERY_VEC, ANN_K = 0, 10
+SEARCH_Q = SearchQuery(
+    query="code=e",
+    start="2024-01-05 00:00:00",
+    end="2024-01-20 00:00:00",
+    sort_order="asc",
+    limit=200,
+    offset=50,
+    fields=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+)
+PROCESSOR_CHAIN = [
+    {"type": "trim", "fields": ["text"]},
+    {"type": "lowercase", "fields": ["text"]},
+    {"type": "filter", "field": "text", "pattern": "error", "drop_if_match": False},
+]
 
 _ROUTED_COLS = ["id", "conv_id", "turn_idx", "role", "tool", "level", "error_code", "text", "ts"]
 
@@ -89,6 +121,56 @@ def _q_date_histogram(spark, sf_dir):
     return date_histogram(ev, "ts", "day")
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(spark, sf_dir):
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == ANN_QUERY_VEC).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_search_page(spark, sf_dir):
+    from dataclasses import replace
+
+    return search(
+        transcripts_from_events(spark, sf_dir),
+        replace(SEARCH_Q),
+        tiebreakers=("conv_id", "turn_idx"),
+    )
+
+
+def _q_processor_chain(spark, sf_dir):
+    chain = build_chain(PROCESSOR_CHAIN)
+    return chain(transcripts_from_events(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "text"
+    )
+
+
+def _q_point_lookup(spark, sf_dir):
+    parsed = _parsed(spark, sf_dir)
+    target = parsed.filter(
+        (F.col("conv_id") == "conv_00007") & (F.col("turn_idx") == 2)
+    ).first()
+    return get_by_id(parsed, target["id"]).select("id", "conv_id", "turn_idx", "text")
+
+
+def _q_events_stats(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats_agg(ev, ["event_type"], "value").select(
+        "event_type",
+        "n",
+        F.round("sum_v", 3).alias("sum_v"),
+        F.round("avg_v", 4).alias("avg_v"),
+        "min_v",
+        "max_v",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {
         "transcripts_derivation": _q_transcripts,
@@ -102,6 +184,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[f"routed_rows_{sink}"] = _mk_routed_rows(sink)
         q[f"agg_conv_hour_{sink}"] = _mk_conv_hour(sink, salted=False)
     q["agg_conv_hour_errors_salted"] = _mk_conv_hour("errors", salted=True)
+
+    # query engine (F1-F3, O1-O4, S9) + processor chain (T4-T6)
+    q["search_page"] = _q_search_page
+    q["processor_chain"] = _q_processor_chain
+    q["point_lookup_by_id"] = _q_point_lookup
+    q["events_stats_by_type"] = _q_events_stats
+
+    # training-data ops: dedup / text analysis / similarity
+    q["doc_dedup_exact_groups"] = lambda s, d: dedupe.exact_dedup_groups(_docs(s, d))
+    q["doc_ngram_jaccard_pairs"] = lambda s, d: dedupe.ngram_jaccard_pairs(
+        _docs(s, d), k=JACCARD_K, threshold=JACCARD_T
+    )
+    q["doc_token_counts"] = lambda s, d: text_analysis.with_token_counts(
+        _docs(s, d)
+    ).select("doc_id", "n_ws_tokens", "n_bpeish_tokens")
+    q["doc_quality_features"] = lambda s, d: text_analysis.quality_features(
+        _docs(s, d)
+    ).select(
+        "doc_id", "n_chars_m", "n_tokens", "punct_ratio", "alpha_ratio",
+        "stop_ratio", "mean_tok_len", "quality_score",
+    )
+    q["doc_lang_id"] = lambda s, d: text_analysis.lang_id(_docs(s, d)).select(
+        "doc_id", "lang_pred", "lang_hits"
+    )
+    q["doc_fingerprint"] = lambda s, d: _docs(s, d).select(
+        "doc_id", text_analysis.fingerprint("text").alias("fp")
+    )
+    q["emb_near_dup_pairs"] = lambda s, d: dedupe.embedding_near_dup_pairs(
+        _emb(s, d), threshold=EMB_NEAR_T
+    )
+    q["ann_cosine_topk"] = lambda s, d: similarity.brute_topk(
+        _emb(s, d), _query_vec(s, d), k=ANN_K
+    )
+    q["ann_cosine_topk_blas"] = lambda s, d: similarity.topk_mapinpandas(
+        _emb(s, d), _query_vec(s, d), k=ANN_K
+    )
+
+    # hash-implementation-specific ops: rows-only driver check (no
+    # portable SQL twin exists for Spark's xxhash64 / pandas hashing)
+    q["doc_minhash_lsh_pairs"] = lambda s, d: dedupe.minhash_lsh_pairs(
+        _docs(s, d), threshold=JACCARD_T
+    )
+    q["doc_simhash_pairs"] = lambda s, d: dedupe.simhash_pairs(_docs(s, d))
+    q["ann_lsh_topk"] = lambda s, d: similarity.lsh_topk(
+        _emb(s, d), _query_vec(s, d), k=ANN_K
+    )
+    q["media_decode_features"] = lambda s, d: multimodal.decode_media(
+        multimodal.fake_media_df(s, d)
+    )
     return q
 
 
@@ -139,4 +270,37 @@ def oracle_sql() -> dict[str, str]:
         o[f"routed_rows_{sink}"] = oracle.routed_rows_sql(sink)
         o[f"agg_conv_hour_{sink}"] = oracle.conv_hour_agg_sql(sink)
     o["agg_conv_hour_errors_salted"] = oracle.conv_hour_agg_sql("errors")
+
+    o["search_page"] = transcripts_cte("events") + f"""
+        SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+        WHERE ts BETWEEN '{SEARCH_Q.start}' AND '{SEARCH_Q.end}'
+          AND contains(lower(text), '{SEARCH_Q.query}')
+        ORDER BY ts ASC, conv_id ASC, turn_idx ASC
+        LIMIT {SEARCH_Q.limit} OFFSET {SEARCH_Q.offset}"""
+    o["processor_chain"] = transcripts_cte("events") + """
+        SELECT conv_id, turn_idx, lower(trim(text)) AS text FROM transcripts
+        WHERE contains(lower(trim(text)), 'error')"""
+    o["point_lookup_by_id"] = P + """
+        SELECT id, conv_id, turn_idx, text FROM parsed
+        WHERE conv_id = 'conv_00007' AND turn_idx = 2"""
+    o["events_stats_by_type"] = """
+        SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_v,
+               round(avg(value), 4) AS avg_v, min(value) AS min_v,
+               max(value) AS max_v
+        FROM events GROUP BY event_type"""
+
+    o["doc_dedup_exact_groups"] = oracle.exact_dedup_groups_sql()
+    o["doc_ngram_jaccard_pairs"] = oracle.ngram_jaccard_sql(JACCARD_K, JACCARD_T)
+    o["doc_token_counts"] = oracle.token_counts_sql(text_analysis.BPEISH_PATTERN)
+    o["doc_quality_features"] = oracle.quality_sql(text_analysis.STOPWORDS)
+    o["doc_lang_id"] = oracle.lang_id_sql(text_analysis.LANG_MARKERS)
+    o["doc_fingerprint"] = oracle.fingerprint_sql()
+    o["emb_near_dup_pairs"] = oracle.embedding_near_dup_sql(EMB_NEAR_T)
+    o["ann_cosine_topk"] = oracle.ann_topk_sql(ANN_QUERY_VEC, ANN_K)
+    o["ann_cosine_topk_blas"] = oracle.ann_topk_sql(ANN_QUERY_VEC, ANN_K)
+    # doc_minhash_lsh_pairs / doc_simhash_pairs / ann_lsh_topk /
+    # media_decode_features: intentionally no oracle — results depend
+    # on Spark's xxhash64 / pandas hashing / byte-level stubs; the
+    # driver records the rows-only check, and tests/test_dedupe.py
+    # pins recall vs the exact operators instead.
     return o

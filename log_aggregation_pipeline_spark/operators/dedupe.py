@@ -1,0 +1,331 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference (its blueprint only *declares* a dedup filter
+stage, /root/reference/log-aggregation-pipeline-blueprint.md:269-274),
+these are the operators a 100 TB corpus pipeline needs:
+
+- exact dedup        — hash-groupBy (one shuffle)
+- n-gram Jaccard     — shingle explode + self-join on shingle
+- MinHash + LSH      — signature -> banded bucket join -> verified pairs
+- SimHash            — numpy-vectorized 64-bit signatures + banded
+                       candidate join + Hamming filter
+- embedding cosine   — exact pair scan (small n) / LSH bucket path in
+                       operators.similarity for scale
+
+Scale posture: every operator keys its shuffle on content-derived
+values (hash, shingle, band) — uniform by construction, no skew
+salting needed; the one hot spot is frequent shingles in the Jaccard
+join, bounded by ``max_shingle_freq`` (drop stop-shingles, the
+standard cap for O(n·f²) blowup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# shared text normalization (also mirrored in oracle SQL)
+# ---------------------------------------------------------------------------
+def normalize_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def content_hash(col: Column | str) -> Column:
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams as an array<string> — pure expressions
+    (split + sequence + transform), no UDF."""
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array()))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_copies, keeper) — keeper = min id per group."""
+    return (
+        df.select(content_hash(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keeper"))
+    )
+
+
+def exact_dedup_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (lowest id) per identical normalized text.
+
+    Window over the hash — single shuffle, no join-back."""
+    w = Window.partitionBy(content_hash(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs (exact near-dup)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Pairs (a_id < b_id) with shingle-set Jaccard >= threshold.
+
+    Exact: every qualifying pair shares >=1 shingle, so the shingle
+    self-join finds all of them.  ``max_shingle_freq`` drops shingles
+    occurring in more than that many docs before the join — at corpus
+    scale a handful of stop-shingles otherwise dominate the join
+    (f² candidate pairs each); exactness then holds for pairs sharing
+    at least one sub-cap shingle (document the cap when used).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("_s").agg(F.count("*").alias("_f"))
+        ex = ex.join(freq.filter(F.col("_f") <= max_shingle_freq), "_s", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"_id": "a_id", "_n": "na"}), "a_id")
+        .join(sizes.withColumnsRenamed({"_id": "b_id", "_n": "nb"}), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_common", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig array<bigint>): sig[i] = min over shingles of
+    xxhash64(shingle, seed=i).  One explode + one hash-aggregate; the
+    per-seed mins are map-side combined, so the shuffle carries only
+    num_hashes longs per doc."""
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("_s")
+    )
+    mins = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, then EXACT Jaccard verify.
+
+    bands of r = num_hashes/bands rows; candidate iff some band agrees
+    (P[candidate] = 1-(1-j^r)^b).  Verification keeps only true
+    Jaccard >= threshold, so false positives are filtered; false
+    negatives are the usual LSH miss probability (tested for recall).
+    Returns (a_id, b_id, jaccard).
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, k, text_col, id_col)
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", bi * r + j + 1) for j in range(r)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .distinct()
+    )
+    # exact verify on the (small) candidate set
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
+    )
+    out = (
+        cand.join(sh.withColumnsRenamed({"_id": "a_id", "_sh": "sha"}), "a_id")
+        .join(sh.withColumnsRenamed({"_id": "b_id", "_sh": "shb"}), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+_SIMHASH_OUT = T.StructType(
+    [T.StructField("simhash", T.LongType())]
+)
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash, numpy-vectorized across the whole Arrow batch:
+    tokens of all rows are flattened, hashed in one C pass
+    (pd.util.hash_array — deterministic for a fixed pandas major), and
+    bit-votes are accumulated with bincount — no per-row Python."""
+    norm = texts.fillna("").str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+    tok_lists = norm.str.split(" ")
+    lens = tok_lists.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = np.concatenate([t if isinstance(t, list) else [] for t in tok_lists]) if lens.sum() else np.array([], dtype=object)
+    if len(flat) == 0:
+        return pd.Series(np.zeros(len(texts), dtype=np.int64))
+    hashes = pd.util.hash_array(flat.astype("U"))  # uint64, vectorized
+    doc_idx = np.repeat(np.arange(len(texts)), lens)
+    # bit votes: for each of 64 bits, sum(+1/-1) per doc
+    sims = np.zeros(len(texts), dtype=np.uint64)
+    for bit in range(64):
+        votes = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
+        per_doc = np.bincount(doc_idx, weights=votes, minlength=len(texts))
+        sims |= (per_doc > 0).astype(np.uint64) << np.uint64(bit)
+    return pd.Series(sims.view(np.int64))
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", _simhash_udf(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunks: int = 4,
+) -> DataFrame:
+    """Candidate pairs sharing one of ``chunks`` 16-bit signature
+    chunks (pigeonhole: any pair within hamming 15/chunks*... — with 4
+    chunks every pair at distance <= 3 is guaranteed; larger distances
+    are best-effort), filtered to bit_count(xor) <= max_hamming."""
+    sh = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    width = 64 // chunks
+    chunked = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "simhash", "c.ci", "c.cv")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("b._id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact pair scan; LSH path in similarity.py)
+# ---------------------------------------------------------------------------
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine >= threshold — exact O(n²) scan, fine up
+    to ~10^5 vectors per executor-partition pair; beyond that use
+    similarity.random_hyperplane_buckets to pre-bucket."""
+    from .similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

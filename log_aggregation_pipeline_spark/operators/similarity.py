@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, one semantics:
+
+- ``brute_topk`` — exact cosine top-k via pure expressions
+  (``zip_with`` + ``aggregate``), planned as scan -> project ->
+  TakeOrderedAndProject: fully distributed, no shuffle beyond top-k
+  merge.  The correctness baseline.
+- ``topk_mapinpandas`` — same computation as one numpy matrix-vector
+  product per Arrow batch (BLAS): the throughput path.
+- ``random_hyperplane_buckets`` / ``lsh_topk`` — sign-LSH: b seeded
+  hyperplanes -> b-bit bucket; probe the query's bucket plus all
+  Hamming<=probe_radius neighbors.  The 100 TB path: candidates
+  shrink ~2^b-fold; recall is tested against brute force.
+
+Determinism: hyperplanes derive from a fixed numpy seed; no
+wall-clock, no unseeded randomness (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector is a Catalyst literal array — broadcast for free
+    with the plan, no Python in the score path.  orderBy+limit plans
+    as TakeOrderedAndProject (per-partition heap + driver merge)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col).cast("array<double>"), q), 6).alias(
+            "cosine"
+        ),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def topk_mapinpandas(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Same result as brute_topk, scored as one BLAS gemv per Arrow
+    batch — the per-row expression tree becomes a single
+    ``M @ q / (|M| |q|)``.  Per-partition top-k then global top-k."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("cosine", T.DoubleType())]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            out = pd.DataFrame({id_col: pdf[id_col], "cosine": np.round(sims, 6)})
+            yield out.nlargest(k, "cosine")  # per-batch prune
+
+    scored = df.select(id_col, vec_col).mapInPandas(score, schema)
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucketing
+# ---------------------------------------------------------------------------
+def _hyperplanes(dim: int, bits: int, seed: int = 13) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((bits, dim))
+
+
+def bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """b-bit sign bucket as pure expressions: bit i = (v . h_i) > 0."""
+    bits = []
+    for i, h in enumerate(planes):
+        lit_h = F.array(*[F.lit(float(x)) for x in h])
+        bits.append(
+            F.when(dot_expr(F.col(vec_col).cast("array<double>"), lit_h) > 0, 1)
+            .otherwise(0)
+            .cast("long")
+            * F.lit(1 << i).cast("long")
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 13,
+    dim: int | None = None,
+) -> DataFrame:
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    return df.withColumn("bucket", bucket_expr(vec_col, _hyperplanes(dim, bits, seed)))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    probe_radius: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    ``probe_radius`` bit flips of the query's bucket.  With bits=8 and
+    radius=1 that's 9/256 of the corpus on uniform buckets."""
+    planes = _hyperplanes(len(query_vec), bits, seed)
+    qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
+    qbucket = int(sum(1 << i for i, b in enumerate(qbits) if b))
+    probes = {qbucket}
+    if probe_radius >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(bits)}
+    if probe_radius >= 2:
+        probes |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        }
+    bucketed = df.withColumn("bucket", bucket_expr(vec_col, planes))
+    cand = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
+    return brute_topk(cand, query_vec, k, vec_col, id_col)

@@ -1,0 +1,150 @@
+"""Text analysis for training-data curation: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure JVM expressions (regexp counts, splits, hashes) so the whole
+stage stays inside whole-stage codegen; every operator has an exact
+ANSI-SQL twin in ``oracle.py``.  Float outputs are rounded to 6
+decimals so cross-engine hashes agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedupe import normalize_text
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
+# symbols (the classic GPT-2 pre-tok shape, simplified to the
+# RE2 ∩ java.regex dialect).
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = normalize_text(col)
+    return F.when(c == "", 0).otherwise(F.size(F.split(c, " ")))
+
+
+def bpeish_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPEISH_PATTERN), F.lit(0)))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "n_ws_tokens", whitespace_token_count(text_col)
+    ).withColumn("n_bpeish_tokens", bpeish_token_count(text_col))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by",
+)
+
+
+def _token_hits(norm: Column, words: tuple[str, ...]) -> Column:
+    """Count tokens ∈ words via split + higher-order filter — stays in
+    codegen and (unlike a lookahead regex) has an exact RE2-free
+    DuckDB twin (list_filter)."""
+    return F.size(F.filter(F.split(norm, " "), lambda t: t.isin(*words)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length / punctuation / stopword / alpha ratios + a composite
+    score in [0,1].  Heuristics follow the usual corpus-quality
+    recipes (length window, low symbol noise, natural stopword rate).
+    """
+    c = F.col(text_col)
+    norm = normalize_text(text_col)
+    n_chars = F.length(c)
+    n_tokens = whitespace_token_count(text_col)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_alpha = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]"), F.lit(0)))
+    n_stop = _token_hits(norm, STOPWORDS)
+
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    mean_tok_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
+
+    length_ok = (n_chars >= 50) & (n_chars <= 10_000)
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), F.lit(0.2)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("mean_tok_len", mean_tok_len)
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "that", "with"),
+    "es": ("el", "la", "los", "que", "por", "una"),
+    "de": ("der", "die", "und", "das", "nicht", "ein"),
+    "fr": ("le", "les", "des", "une", "est", "dans"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pick the language with the most marker-word hits; 'und'
+    (undetermined) when nothing matches.  Ties break by the fixed
+    language order — deterministic.  (The test corpus's text is
+    synthetic English-ish word salad, so the interesting check is
+    determinism + oracle parity, not linguistic accuracy.)"""
+    norm = normalize_text(text_col)
+    hits = {lang: _token_hits(norm, w) for lang, w in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in LANG_MARKERS:  # fixed order = deterministic ties
+        take = hits[lang] > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, hits[lang]).otherwise(best_n)
+    out = df.withColumn("lang_pred", best).withColumn("lang_hits", best_n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+def fingerprint(col: Column | str) -> Column:
+    """Whole-content fingerprint over normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_fingerprint(col: Column | str, window: int = 16, keep: int = 4) -> Column:
+    """Winnowing-lite: hash every ``window``-char rolling substring
+    (xxhash64), keep the ``keep`` smallest — a compact sketch that two
+    near-identical documents mostly share.  Pure expressions:
+    sequence -> substr -> hash -> array_sort -> slice."""
+    c = normalize_text(col)
+    n = F.length(c)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.substring(c, i, window)),
+    )
+    return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fp", fingerprint(text_col)).withColumn(
+        "fp_sketch", rolling_fingerprint(text_col)
+    )

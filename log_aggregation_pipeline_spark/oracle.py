@@ -65,3 +65,132 @@ SELECT id, conv_id, turn_idx, role, tool, level, error_code, text, ts
 FROM parsed
 WHERE {route_where(sink)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators over documents / embeddings (DuckDB twins of
+# operators.dedupe / text_analysis / similarity).  The normalization
+# and constants mirror the Spark expressions exactly.
+# ---------------------------------------------------------------------------
+NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+def exact_dedup_groups_sql() -> str:
+    return f"""
+SELECT md5({NORM_SQL}) AS content_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+
+def ngram_jaccard_sql(k: int = 3, threshold: float = 0.4) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ {gram} for i in range(1, len(t) - {k - 2}) ]) AS shingles
+  FROM toks WHERE len(t) >= {k}
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS n_common, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_common,
+       round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+FROM common
+WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= {threshold}
+"""
+
+
+def token_counts_sql(bpeish_pattern: str) -> str:
+    return f"""
+SELECT doc_id,
+  CASE WHEN {NORM_SQL} = '' THEN 0
+       ELSE len(string_split({NORM_SQL}, ' ')) END AS n_ws_tokens,
+  len(regexp_extract_all(text, '{bpeish_pattern}')) AS n_bpeish_tokens
+FROM documents
+"""
+
+
+def quality_sql(stopwords: tuple[str, ...]) -> str:
+    stop_list = ", ".join(f"'{w}'" for w in stopwords)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    length(text) AS n_chars_m,
+    CASE WHEN {NORM_SQL} = '' THEN 0
+         ELSE len(string_split({NORM_SQL}, ' ')) END AS n_tokens,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+    len(list_filter(string_split({NORM_SQL}, ' '), x -> x IN ({stop_list}))) AS n_stop
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_chars_m, n_tokens,
+    round(n_punct * 1.0 / greatest(n_chars_m, 1), 6) AS punct_ratio,
+    round(n_alpha * 1.0 / greatest(n_chars_m, 1), 6) AS alpha_ratio,
+    round(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stop_ratio,
+    round(n_chars_m * 1.0 / greatest(n_tokens, 1), 6) AS mean_tok_len
+  FROM base
+)
+SELECT doc_id, n_chars_m, n_tokens, punct_ratio, alpha_ratio, stop_ratio,
+  mean_tok_len,
+  round(
+    (CASE WHEN n_chars_m BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END)
+    + (CASE WHEN stop_ratio >= 0.05 THEN 0.2 ELSE 0.0 END)
+    + (CASE WHEN mean_tok_len BETWEEN 3 AND 12 THEN 0.2 ELSE 0.0 END), 6
+  ) AS quality_score
+FROM ratios
+"""
+
+
+def lang_id_sql(markers: dict[str, tuple[str, ...]]) -> str:
+    hit_cols = []
+    for lang, words in markers.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"len(list_filter(string_split({NORM_SQL}, ' '), x -> x IN ({wl}))) AS h_{lang}"
+        )
+    langs = list(markers)
+    # same fixed-order strictly-greater fold as the Spark expression
+    best = "'und'"
+    best_n = "0"
+    for lang in langs:
+        best = f"CASE WHEN h_{lang} > {best_n} THEN '{lang}' ELSE {best} END"
+        best_n = f"CASE WHEN h_{lang} > {best_n} THEN h_{lang} ELSE {best_n} END"
+    return f"""
+WITH hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents)
+SELECT doc_id, {best} AS lang_pred, {best_n} AS lang_hits FROM hits
+"""
+
+
+def fingerprint_sql() -> str:
+    return f"SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents"
+
+
+def embedding_near_dup_sql(threshold: float) -> str:
+    return f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {threshold}
+"""
+
+
+def ann_topk_sql(query_vec_id: int, k: int) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT vec_id,
+       round(list_cosine_similarity(embedding, (SELECT e FROM q)), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""

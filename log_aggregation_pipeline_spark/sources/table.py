@@ -1,0 +1,116 @@
+"""Time-partitioned table store (SURVEY.md §2.1 S7-S10).
+
+The reference's FileStore appends gob rows to one file per hour
+partition (/root/reference/internal/server/storage/store.go:131-177,
+partition key ``"2006-01-02-15"`` at :301), prunes partitions by query
+time range (:327-337), keeps an id index for point lookups (:91-102)
+and deletes expired partitions for retention (:253-272).
+
+Spark-side, the same semantics on columnar storage:
+
+- Write: hour-partitioned parquet (hive layout) — or Iceberg
+  ``PARTITIONED BY (hours(ts))`` when a catalog with the runtime jar
+  exists (not in this image; the switch is ``format="iceberg"``).
+- Pruned scan: ``WHERE ts BETWEEN`` — Catalyst prunes hour dirs via
+  the partition column, row groups via parquet min/max stats.
+- Point lookup: predicate on the content-derived id; parquet column
+  stats replace the in-memory index.
+- Retention: partition-level delete (metadata-only directory drop).
+
+The pipeline's high-throughput sink path uses the run-manifest layout
+in ``plans.pipeline`` instead; this class is the query-store
+abstraction for standalone table management.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HOUR_KEY_FMT = "yyyy-MM-dd-HH"
+_HOUR_PY_FMT = "%Y-%m-%d-%H"
+
+
+class HourPartitionedTable:
+    def __init__(self, spark: SparkSession, path: str, fmt: str = "parquet"):
+        if fmt == "iceberg":  # pragma: no cover - jar not in this image
+            raise NotImplementedError(
+                "Iceberg runtime jar not on the classpath; use fmt='parquet' "
+                "(identical layout/semantics, SURVEY.md §7)"
+            )
+        self.spark = spark
+        self.path = path
+        self.fmt = fmt
+
+    # -- S7 write ------------------------------------------------------
+    def write(self, df: DataFrame, ts_col: str = "ts", mode: str = "append") -> None:
+        (
+            df.withColumn("hour_key", F.date_format(ts_col, HOUR_KEY_FMT))
+            .repartition(F.col("hour_key"))
+            .write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour_key")
+            .parquet(self.path)
+        )
+
+    # -- S8 pruned scan --------------------------------------------------
+    def scan(self, start=None, end=None) -> DataFrame:
+        """Closed [start, end] range (common.go:53-55); the predicate on
+        both the partition key and ts gives dir-level pruning plus
+        row-group skipping."""
+        df = self.spark.read.parquet(self.path)
+        if start is not None:
+            df = df.filter(
+                (F.col("hour_key") >= _hour_key(start, floor=True))
+                & (F.col("ts") >= F.lit(start))
+            )
+        if end is not None:
+            df = df.filter(
+                (F.col("hour_key") <= _hour_key(end, floor=True))
+                & (F.col("ts") <= F.lit(end))
+            )
+        return df
+
+    # -- S9 point lookup --------------------------------------------------
+    def get(self, entry_id: str, id_col: str = "id") -> DataFrame:
+        return self.spark.read.parquet(self.path).filter(
+            F.col(id_col) == F.lit(entry_id)
+        ).limit(1)
+
+    # -- S10 retention ------------------------------------------------------
+    def expire(self, cutoff: datetime | str) -> list[str]:
+        """Drop whole partitions strictly older than cutoff's hour —
+        metadata-only, like store.go:253-272 (file unlink per
+        partition).  Returns dropped hour keys."""
+        cut = _hour_key_str(cutoff)
+        dropped = []
+        if not os.path.isdir(self.path):
+            return dropped
+        for d in sorted(os.listdir(self.path)):
+            if d.startswith("hour_key=") and d.split("=", 1)[1] < cut:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                dropped.append(d.split("=", 1)[1])
+        return dropped
+
+    def hours(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(self.path)
+            if d.startswith("hour_key=")
+        )
+
+
+def _hour_key(ts, floor: bool = True):
+    return F.lit(_hour_key_str(ts))
+
+
+def _hour_key_str(ts) -> str:
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    return ts.strftime(_HOUR_PY_FMT)

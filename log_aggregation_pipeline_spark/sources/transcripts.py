@@ -166,7 +166,7 @@ def generate_transcripts(
 
     # per-conv monotone timestamps spanning ~100 hours
     base = np.datetime64("2024-01-01T00:00:00")
-    conv_offset = (conv_idx * 997) % (100 * 3600)  # seconds
+    conv_offset = (conv_idx * 7919) % (100 * 3600)  # seconds, spread over 100h
     ts = base + ((conv_offset + turn_idx.astype(np.int64) * 61) * 1000).astype(
         "timedelta64[ms]"
     )

@@ -1,0 +1,111 @@
+"""Dedup + similarity operators: exact semantics on constructed
+corpora, recall of the approximate (LSH) paths against the exact ones."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from log_aggregation_pipeline_spark.operators import dedupe as D
+from log_aggregation_pipeline_spark.operators import similarity as S
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "The  Quick Brown Fox jumps over the lazy dog"),  # exact dup of 0 (norm)
+    (3, "completely different text about spark partitions"),
+    (4, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def sf_emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_exact_dedup(docs):
+    groups = {r.content_hash: r for r in D.exact_dedup_groups(docs).collect()}
+    dup_group = [g for g in groups.values() if g.n_copies == 2]
+    assert len(dup_group) == 1 and dup_group[0].keeper == 0  # 0 and 2 normalize equal
+    kept = D.exact_dedup_rows(docs).select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(kept) == [0, 1, 3, 4]  # keeps min id of the dup group
+
+
+def test_ngram_jaccard_known_value(docs):
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in
+             D.ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()}
+    # docs 0/1: 7 shingles each, 6 common -> j = 6/8 = 0.75
+    assert pairs[(0, 1)] == 0.75
+    assert pairs[(0, 2)] == 1.0  # exact dup after normalization
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_recall_and_precision(sf_docs):
+    exact = {(r.a_id, r.b_id) for r in
+             D.ngram_jaccard_pairs(sf_docs, threshold=0.4).collect()}
+    approx = {(r.a_id, r.b_id): r.jaccard for r in
+              D.minhash_lsh_pairs(sf_docs, threshold=0.4).collect()}
+    assert set(approx) <= exact                      # verified => precision 1.0
+    assert len(approx) >= 0.8 * len(exact)           # LSH recall
+    assert all(j >= 0.4 for j in approx.values())
+
+
+def test_simhash_properties(spark, sf_docs):
+    two = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "ALPHA  beta GAMMA delta")],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.simhash for r in D.simhash(two).collect()}
+    assert h[0] == h[1]  # case/whitespace-normalized => identical signature
+    pairs = D.simhash_pairs(two, max_hamming=0).collect()
+    assert [(p.a_id, p.b_id, p.hamming) for p in pairs] == [(0, 1, 0)]
+    # on the corpus: pair list is deterministic across invocations
+    a = sorted((r.a_id, r.b_id) for r in D.simhash_pairs(sf_docs).collect())
+    b = sorted((r.a_id, r.b_id) for r in D.simhash_pairs(sf_docs).collect())
+    assert a == b and len(a) > 0
+
+
+def test_embedding_near_dup_matches_bruteforce(sf_emb):
+    pairs = D.embedding_near_dup_pairs(sf_emb, threshold=0.3)
+    rows = pairs.collect()
+    assert all(r.cosine >= 0.3 and r.a_id < r.b_id for r in rows)
+    n = sf_emb.count()
+    assert 0 < len(rows) < n * (n - 1) / 2
+
+
+def test_topk_brute_vs_blas(sf_emb):
+    q = [float(x) for x in sf_emb.filter("vec_id = 0").first()["embedding"]]
+    a = [(r.vec_id, r.cosine) for r in S.brute_topk(sf_emb, q, 10).collect()]
+    b = [(r.vec_id, r.cosine) for r in S.topk_mapinpandas(sf_emb, q, 10).collect()]
+    assert a == b
+    assert a[0] == (0, 1.0)  # the query vector itself
+
+
+def test_lsh_topk_subset_semantics(sf_emb):
+    q = [float(x) for x in sf_emb.filter("vec_id = 0").first()["embedding"]]
+    brute = {r.vec_id: r.cosine for r in S.brute_topk(sf_emb, q, 50).collect()}
+    lsh = S.lsh_topk(sf_emb, q, 10, bits=8, probe_radius=2).collect()
+    assert lsh[0].vec_id == 0  # own bucket always probed
+    for r in lsh:  # scores must agree with the exact scorer
+        if r.vec_id in brute:
+            assert abs(r.cosine - brute[r.vec_id]) < 1e-9
+
+
+def test_bucket_count_bounded(sf_emb):
+    b = S.random_hyperplane_buckets(sf_emb, bits=8)
+    assert b.select("bucket").distinct().count() <= 256
+    # deterministic across calls (seeded hyperplanes)
+    x = b.groupBy("bucket").count().orderBy("bucket").collect()
+    y = S.random_hyperplane_buckets(sf_emb, bits=8).groupBy("bucket").count().orderBy("bucket").collect()
+    assert x == y

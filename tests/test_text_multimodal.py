@@ -1,0 +1,105 @@
+"""Text analysis + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_aggregation_pipeline_spark.operators import multimodal as M
+from log_aggregation_pipeline_spark.operators import text_analysis as TA
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [
+            (0, "The cat sat on the mat, and it was happy."),
+            (1, "el gato que esta en la casa por una razon"),
+            (2, "x" * 20_000),
+            (3, ""),
+            (4, "word " * 30),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_counts(sample):
+    rows = {r.doc_id: r for r in TA.with_token_counts(sample).collect()}
+    assert rows[0].n_ws_tokens == 10
+    # bpe-ish: words + punctuation symbols ("," and "." separate)
+    assert rows[0].n_bpeish_tokens == 12
+    assert rows[3].n_ws_tokens == 0 and rows[3].n_bpeish_tokens == 0
+
+
+def test_quality_features(sample):
+    rows = {r.doc_id: r for r in TA.quality_features(sample).collect()}
+    assert rows[0].quality_score >= 0.4  # stopwordy natural sentence
+    assert rows[2].quality_score <= 0.2  # 20k 'x': only the no-punct credit
+    assert 0 <= rows[4].punct_ratio <= 1
+    for r in rows.values():
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_lang_id(sample):
+    rows = {r.doc_id: r.lang_pred for r in TA.lang_id(sample).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "es"
+    assert rows[3] == "und"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "  HELLO WORLD  ")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in TA.with_fingerprints(df).collect()]
+    assert len(set(fps)) == 1
+    sk = [tuple(r.fp_sketch) for r in TA.with_fingerprints(df).collect()]
+    assert len(set(sk)) == 1
+
+
+def test_rolling_fingerprint_shares_hashes_on_neardups(spark):
+    df = spark.createDataFrame(
+        [(0, "a long shared prefix of text " * 4 + "ending one"),
+         (1, "a long shared prefix of text " * 4 + "ending two")],
+        "doc_id long, text string",
+    )
+    a, b = [set(r.fp_sketch) for r in TA.with_fingerprints(df).collect()]
+    assert a & b  # near-identical docs share sketch hashes
+
+
+# --- multimodal ------------------------------------------------------------
+@pytest.fixture(scope="module")
+def media(spark):
+    return M.fake_media_df(spark, "/root/testdata/sf0.001")
+
+
+def test_media_schema_and_kinds(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "media", "meta"]
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    m = media.first()
+    assert isinstance(m.media, (bytes, bytearray)) and m.meta.width >= 1
+
+
+def test_decode_features_deterministic(media):
+    a = M.decode_media(media).orderBy("media_id").toPandas()
+    b = M.decode_media(media).orderBy("media_id").toPandas()
+    assert a.equals(b)
+    assert (a["n_bytes"] > 0).all()
+    assert a["byte_entropy"].between(0, 8).all()
+    assert a["sig"].str.len().eq(16).all()
+
+
+def test_decode_strict_stub(media):
+    with pytest.raises(NotImplementedError, match="decoding requires"):
+        M.decode_media(media, strict=True)
+
+
+def test_resize_and_frames(media):
+    th = M.resize_images(media, target_bytes=64).toPandas()
+    assert (th["thumb_bytes"] <= 64).all() and len(th) > 0
+    fr = M.sample_frames(media, n_frames=4).toPandas()
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert len(fr) == 4 * n_videos
+    assert set(fr["frame_idx"]) == {0, 1, 2, 3}

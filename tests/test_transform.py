@@ -1,0 +1,86 @@
+"""Processor library goldens (reference processor.go:31-200)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from log_aggregation_pipeline_spark.operators.transform import (
+    add_fields,
+    build_chain,
+    drop_fields,
+    filter_contains,
+    lowercase,
+    rename_fields,
+    trim,
+)
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [
+            Row(message="  Hello World  ", fields={"env": "PROD", "old": "v1"}),
+            Row(message="other", fields=None),
+        ]
+    )
+
+
+def test_add_fields_upserts(df):
+    out = df.transform(add_fields({"env": "staging", "team": "core"}))
+    rows = {r.message: r.fields for r in out.collect()}
+    assert rows["  Hello World  "] == {"old": "v1", "env": "staging", "team": "core"}
+    assert rows["other"] == {"env": "staging", "team": "core"}  # NULL map ok
+
+
+def test_rename_fields(df):
+    out = df.transform(rename_fields({"old": "new", "absent": "x"}))
+    r = out.filter("message like '%Hello%'").first()
+    assert r.fields == {"env": "PROD", "new": "v1"}  # old moved, absent no-op
+
+
+def test_drop_fields(df):
+    r = df.transform(drop_fields(["old", "nope"])).first()
+    assert r.fields == {"env": "PROD"}
+
+
+def test_lowercase_envelope_and_map(df):
+    out = df.transform(lowercase(["message", "env"]))
+    r = out.filter("message like '%hello%'").first()
+    assert r.message == "  hello world  "
+    assert r.fields["env"] == "prod"  # map entry, envelope col absent
+
+
+def test_trim(df):
+    assert df.transform(trim(["message"])).first().message == "Hello World"
+
+
+def test_filter_drop_and_keep(df):
+    assert df.transform(filter_contains("message", "Hello")).count() == 1
+    assert (
+        df.transform(filter_contains("message", "Hello", drop_if_match=False)).count()
+        == 1
+    )
+    # map-field filter, NULL map row is kept when dropping
+    assert df.transform(filter_contains("env", "PROD")).count() == 1
+
+
+def test_build_chain(df):
+    chain = build_chain(
+        [
+            {"type": "trim", "fields": ["message"]},
+            {"type": "lowercase", "fields": ["message"]},
+            {"type": "add_fields", "fields": {"stage": "test"}},
+            {"type": "filter", "field": "message", "pattern": "hello",
+             "drop_if_match": False},
+        ]
+    )
+    rows = chain(df).collect()
+    assert len(rows) == 1
+    assert rows[0].message == "hello world"
+    assert rows[0].fields["stage"] == "test"
+
+
+def test_build_chain_unknown_type():
+    with pytest.raises(ValueError, match="unknown processor type"):
+        build_chain([{"type": "nope"}])
