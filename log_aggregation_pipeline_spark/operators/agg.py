@@ -85,6 +85,7 @@ def conv_hour_agg(
     ts_col: str = "ts",
     salted: bool = False,
     n_salt: int = 16,
+    extra_group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(conv_id, hour) -> count/min(ts)/max(ts).
 
@@ -96,8 +97,9 @@ def conv_hour_agg(
     the plain hash aggregate's map-side combine is already optimal.
     """
     hour = F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    extra = [F.col(c) for c in extra_group_cols]
     if not salted:
-        return df.groupBy("conv_id", hour).agg(
+        return df.groupBy(*extra, "conv_id", hour).agg(
             F.count("*").alias("n_turns"),
             F.min(ts_col).alias("min_ts"),
             F.max(ts_col).alias("max_ts"),
@@ -105,12 +107,12 @@ def conv_hour_agg(
     # Salt from turn_idx (uniform within a conversation), not random()
     # — determinism is a hard requirement (SURVEY.md §7).
     salt = (F.col("turn_idx") % n_salt).alias("_salt")
-    partial = df.groupBy("conv_id", hour, salt).agg(
+    partial = df.groupBy(*extra, "conv_id", hour, salt).agg(
         F.count("*").alias("_n"),
         F.min(ts_col).alias("_min"),
         F.max(ts_col).alias("_max"),
     )
-    return partial.groupBy("conv_id", "hour").agg(
+    return partial.groupBy(*extra_group_cols, "conv_id", "hour").agg(
         F.sum("_n").alias("n_turns"),
         F.min("_min").alias("min_ts"),
         F.max("_max").alias("max_ts"),

@@ -113,17 +113,55 @@ def read_sink(spark: SparkSession, out_dir: str, sink: str) -> DataFrame:
     )
 
 
+def read_all_sinks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All committed rows across sinks, with the ``sink`` partition
+    column attached — one scan for cross-sink aggregates."""
+    man = L.read_manifest(out_dir)
+    paths = []
+    for sink, rid in sorted(set(zip(man["sink"], man["run_id"]))):
+        p = os.path.join(sinks_root(out_dir), f"run={rid}", f"sink={sink}")
+        if os.path.isdir(p):
+            paths.append(p)
+    if not paths:
+        raise FileNotFoundError(f"no committed data in {out_dir}")
+    return (
+        spark.read.option("basePath", sinks_root(out_dir)).parquet(*paths).drop("run")
+    )
+
+
+def read_agg(spark: SparkSession, out_dir: str, sink: str) -> DataFrame:
+    """One sink's conv-hour aggregate from the combined agg table."""
+    return (
+        spark.read.option("basePath", os.path.join(out_dir, "aggs", "conv_hour"))
+        .parquet(os.path.join(out_dir, "aggs", "conv_hour", f"sink={sink}"))
+        .drop("sink")
+    )
+
+
 def gc_orphan_runs(out_dir: str) -> list[str]:
-    """Delete run dirs no manifest references (crashed writes)."""
+    """Delete data no manifest references (crashed writes): whole run
+    dirs with no committed sink, and uncommitted sink subdirs inside
+    otherwise-live runs."""
     root = sinks_root(out_dir)
     if not os.path.isdir(root):
         return []
-    live = set(L.read_manifest(out_dir)["run_id"].unique())
+    man = L.read_manifest(out_dir)
+    committed = set(zip(man["sink"], man["run_id"]))
+    live_runs = {rid for _, rid in committed}
     removed = []
     for d in os.listdir(root):
-        if d.startswith("run=") and d.split("=", 1)[1] not in live:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if not d.startswith("run="):
+            continue
+        rid = d.split("=", 1)[1]
+        rdir = os.path.join(root, d)
+        if rid not in live_runs:
+            shutil.rmtree(rdir, ignore_errors=True)
             removed.append(d)
+            continue
+        for sd in os.listdir(rdir):
+            if sd.startswith("sink=") and (sd.split("=", 1)[1], rid) not in committed:
+                shutil.rmtree(os.path.join(rdir, sd), ignore_errors=True)
+                removed.append(f"{d}/{sd}")
     return removed
 
 
@@ -155,28 +193,42 @@ def run_pipeline(
 
     spark.conf.set("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
 
-    parsed = parsed_view(spark, transcripts, impl=impl).persist()
-    try:
-        tagged = tagged_view(parsed)
+    # parse -> enrich -> tag -> (resume filter) -> ONE write.  The
+    # parse runs exactly once: downstream stats/aggregates read the
+    # just-written columnar files back (2 cheap column-pruned scans)
+    # instead of persist()-ing the wide parsed view — serializing 3M+
+    # rows to block storage costs more than re-reading snappy parquet.
+    tagged = tagged_view(parsed_view(spark, transcripts, impl=impl))
 
-        # Resume filter: drop already-committed (sink, hour) pairs.
-        excludes = []
-        for name in ROUTES:
-            done = L.committed_hours(out_dir, name)
-            res.skipped[name] = sorted(done)
-            if done:
-                excludes.append(
-                    (F.col("sink") == name) & F.col("hour_key").isin(*done)
-                )
-        pending = (
-            tagged.filter(~reduce(lambda a, b: a | b, excludes))
-            if excludes
-            else tagged
+    excludes = []
+    for name in ROUTES:
+        done = L.committed_hours(out_dir, name)
+        res.skipped[name] = sorted(done)
+        if done:
+            excludes.append((F.col("sink") == name) & F.col("hour_key").isin(*done))
+    pending = (
+        tagged.filter(~reduce(lambda a, b: a | b, excludes)) if excludes else tagged
+    )
+
+    run_path = os.path.join(sinks_root(out_dir), f"run={run_id}")
+    (
+        pending.sortWithinPartitions("sink", "hour_key")
+        .write.mode("overwrite")
+        .partitionBy("sink")
+        .parquet(run_path)
+    )
+
+    # Lineage stats from the written files (reads only hour_key + ts).
+    records: dict[str, list[dict]] = {name: [] for name in ROUTES}
+    wrote_any = any(
+        d.startswith("sink=") for d in os.listdir(run_path)
+    ) if os.path.isdir(run_path) else False
+    if wrote_any:
+        written = spark.read.option("basePath", run_path).parquet(
+            os.path.join(run_path, "sink=*")
         )
-
-        # Lineage stats: ONE aggregate over every (sink, hour) written.
         stat_rows = (
-            pending.groupBy("sink", "hour_key")
+            written.groupBy("sink", "hour_key")
             .agg(
                 F.count("*").alias("n_rows"),
                 F.min("ts").alias("min_ts"),
@@ -184,7 +236,6 @@ def run_pipeline(
             )
             .collect()
         )
-        records: dict[str, list[dict]] = {name: [] for name in ROUTES}
         for r in stat_rows:
             records[r["sink"]].append(
                 {
@@ -195,40 +246,32 @@ def run_pipeline(
                 }
             )
 
-        # ONE fan-out write, hour-clustered within each task file.
-        if any(records.values()):
-            (
-                pending.sortWithinPartitions("sink", "hour_key")
-                .write.mode("overwrite")
-                .partitionBy("sink")
-                .parquet(os.path.join(sinks_root(out_dir), f"run={run_id}"))
+    # Commit manifests sink-by-sink (the resume checkpoint points).
+    for i, name in enumerate(ROUTES):
+        if fail_after_sinks is not None and i >= fail_after_sinks:
+            raise InjectedFailure(f"injected failure before sink {name} commit")
+        recs = sorted(records[name], key=lambda r: r["hour_key"])
+        if recs:
+            L.commit_sink_run(out_dir, name, run_id, recs)
+        res.committed[name] = [r["hour_key"] for r in recs]
+
+    # Aggregate stage: one column-pruned scan over every committed
+    # sink (uniform clean/resume path), one shuffle keyed
+    # (sink, conv_id, hour), one write partitioned by sink.
+    if write_aggs:
+        manifest = L.read_manifest(out_dir)
+        agg = conv_hour_agg(
+            read_all_sinks(spark, out_dir),
+            salted=salted_agg,
+            extra_group_cols=("sink",),
+        )
+        (
+            agg.write.mode("overwrite")
+            .partitionBy("sink")
+            .parquet(os.path.join(out_dir, "aggs", "conv_hour"))
+        )
+        for name in ROUTES:
+            res.sink_counts[name] = int(
+                manifest.loc[manifest["sink"] == name, "n_rows"].sum()
             )
-
-        # Commit manifests sink-by-sink (the resume checkpoint points).
-        for i, name in enumerate(ROUTES):
-            if fail_after_sinks is not None and i >= fail_after_sinks:
-                raise InjectedFailure(f"injected failure before sink {name} commit")
-            recs = sorted(records[name], key=lambda r: r["hour_key"])
-            if recs:
-                L.commit_sink_run(out_dir, name, run_id, recs)
-            res.committed[name] = [r["hour_key"] for r in recs]
-
-        # Aggregate stage.  Clean run: aggregate the cached parsed view.
-        # Resumed run: read back committed table (covers prior runs).
-        if write_aggs:
-            manifest = L.read_manifest(out_dir)
-            for name in ROUTES:
-                if res.skipped[name]:
-                    sink_df = read_sink(spark, out_dir, name)
-                else:
-                    sink_df = parsed.filter(ROUTES[name].spark_pred())
-                agg = conv_hour_agg(sink_df, salted=salted_agg)
-                agg.write.mode("overwrite").parquet(
-                    os.path.join(out_dir, "aggs", f"{name}_conv_hour")
-                )
-                res.sink_counts[name] = int(
-                    manifest.loc[manifest["sink"] == name, "n_rows"].sum()
-                )
-    finally:
-        parsed.unpersist()
     return res

@@ -1,0 +1,115 @@
+"""Streaming pipeline (SURVEY.md §2.9).
+
+The reference is a continuous system: tailer micro-batches (100
+lines / 5 s, tailer.go:240-305), shipper batches (1000 / 5 s,
+shipper.go:178-205), server pipeline workers.  Its streaming semantics
+map onto Structured Streaming:
+
+- micro-batching (R1)      -> trigger(processingTime=...) +
+                              maxFilesPerTrigger
+- checkpoint/resume (R3)   -> checkpointLocation (offset log), the
+                              streaming twin of plans.lineage
+- at-least-once + retry    -> task retries + idempotent foreachBatch
+- backpressure drop (R2)   -> N/A: Spark never drops; the invariant is
+                              recorded, not implemented
+- date_histogram (A3)      -> tumbling window + watermark for late data
+
+The batch pipeline's parse/enrich/route stages are reused verbatim in
+``foreachBatch`` — one code path, two execution modes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.route import ROUTES
+from ..plans.pipeline import parsed_view
+from ..schema import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a transcripts parquet directory.
+
+    ``maxFilesPerTrigger`` is the rate limit — the analog of the
+    receiver's token bucket (receiver.go:297-340, R6)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def start_routed_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    impl: str = "native",
+) -> StreamingQuery:
+    """parse -> enrich -> route each micro-batch; per-sink parquet.
+
+    ``foreachBatch`` reuses the exact batch-stage functions, writing
+    each sink with an epoch-scoped path so retried epochs overwrite
+    rather than duplicate (exactly-once per sink dir).  Default
+    ``impl='native'`` keeps the streaming hot path JVM-only.
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        parsed = parsed_view(spark, batch_df, impl=impl).persist()
+        try:
+            for name, route in ROUTES.items():
+                (
+                    parsed.filter(route.spark_pred())
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out_dir, "sinks", name, f"epoch={epoch_id}"))
+                )
+        finally:
+            parsed.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming date_histogram (A3): tumbling-window counts per level
+    of lateness up to ``watermark``.  The reference has no late-data
+    story at all (rows land in whatever partition their ts says,
+    store.go:148); the watermark makes the tradeoff explicit."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "role", "n")
+    )
+
+
+def run_stream_to_completion(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    impl: str = "native",
+) -> None:
+    """Drain all available input (availableNow) and stop — the batch
+    harness for streaming tests; restart-with-same-checkpoint resumes
+    from the offset log exactly like the tailer's FileState."""
+    q = start_routed_stream(
+        spark, read_transcript_stream(spark, in_path), out_dir, impl=impl
+    )
+    q.awaitTermination()

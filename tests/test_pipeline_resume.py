@@ -14,6 +14,7 @@ from log_aggregation_pipeline_spark.operators.route import ROUTES
 from log_aggregation_pipeline_spark.plans import lineage as L
 from log_aggregation_pipeline_spark.plans.pipeline import (
     InjectedFailure,
+    read_agg,
     read_sink,
     run_pipeline,
 )
@@ -82,6 +83,6 @@ def test_aggs_written(spark, transcripts, tmp_path):
     out = str(tmp_path / "aggs")
     run_pipeline(spark, transcripts, out)
     for name in ROUTES:
-        agg = spark.read.parquet(f"{out}/aggs/{name}_conv_hour")
+        agg = read_agg(spark, out, name)
         sink = read_sink(spark, out, name)
         assert agg.agg({"n_turns": "sum"}).first()[0] == sink.count()

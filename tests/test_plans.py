@@ -1,0 +1,84 @@
+"""Physical-plan regression tests (SURVEY.md §4).
+
+The scale contract is encoded here: filters/projection push to the
+parquet scan, small dims broadcast, aggregates partial-combine before
+the exchange, top-k plans as TakeOrderedAndProject, and unreferenced
+expensive stages (pandas-UDF parse, window) are pruned away.  If a
+refactor breaks one of these, a 100 TB run gets quietly slower — these
+tests make that loud."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_aggregation_pipeline_spark.operators.agg import conv_hour_agg, terms_agg
+from log_aggregation_pipeline_spark.operators.enrich import enrich
+from log_aggregation_pipeline_spark.operators.parse import parse_transcripts
+from log_aggregation_pipeline_spark.operators.similarity import brute_topk
+from log_aggregation_pipeline_spark.sources.transcripts import transcripts_from_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    return enrich(parse_transcripts(transcripts_from_events(spark, SF)))
+
+
+def test_filter_pushdown_to_parquet(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = ev.filter(
+        F.col("ts").between("2024-01-05", "2024-01-06")
+        & (F.col("event_type") == "error")
+    ).select("event_id")
+    p = plan_of(df)
+    assert "PushedFilters: [" in p
+    assert "event_type" in p.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "ts")
+    read_schema = plan_of(ev).split("ReadSchema:")[1]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_enrich_is_broadcast(parsed):
+    p = plan_of(parsed)
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_agg_has_partial_combine(parsed):
+    p = plan_of(conv_hour_agg(parsed))
+    assert "partial_count" in p and "partial_min" in p
+    # exactly one data exchange for the aggregate itself
+    assert p.count("Exchange hashpartitioning") <= 2  # window + agg
+
+
+def test_unused_parse_stage_is_pruned(spark, parsed):
+    """Catalyst removes the Arrow parse UDF when its columns are
+    unreferenced — aggregating only (conv_id, ts) must not pay for
+    the regex stage."""
+    p = plan_of(conv_hour_agg(parsed))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_parse_stage_present_when_referenced(parsed):
+    p = plan_of(terms_agg(parsed, "level"))
+    assert "ArrowEvalPython" in p  # vectorized (Arrow), not row Python
+    assert "BatchEvalPython" not in p
+
+
+def test_topk_is_take_ordered(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.first()["embedding"]]
+    assert "TakeOrderedAndProject" in plan_of(brute_topk(emb, q, 10))
+
+
+def test_no_cartesian_anywhere_in_pipeline(parsed):
+    assert "CartesianProduct" not in plan_of(conv_hour_agg(parsed))

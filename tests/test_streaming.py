@@ -1,0 +1,95 @@
+"""Streaming pipeline: micro-batch routing equals batch routing;
+checkpoint restart processes only new files (tailer resume parity,
+tailer_test.go:186-286)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_aggregation_pipeline_spark.operators.route import ROUTES
+from log_aggregation_pipeline_spark.plans.pipeline import parsed_view
+from log_aggregation_pipeline_spark.streaming.stream import (
+    read_transcript_stream,
+    run_stream_to_completion,
+    windowed_counts,
+)
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _routed_keys(spark, out_dir, sink):
+    paths = glob.glob(os.path.join(out_dir, "sinks", sink, "epoch=*"))
+    df = spark.read.parquet(*paths)
+    return sorted((r.conv_id, r.turn_idx) for r in df.select(*KEY).collect())
+
+
+def test_stream_routes_equal_batch(spark, transcripts, tmp_path):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    transcripts.repartition(4).write.parquet(in_dir)
+
+    run_stream_to_completion(spark, in_dir, out_dir)
+
+    batch = parsed_view(spark, transcripts)
+    for name, route in ROUTES.items():
+        exp = sorted(
+            (r.conv_id, r.turn_idx)
+            for r in batch.filter(route.spark_pred()).select(*KEY).collect()
+        )
+        assert _routed_keys(spark, out_dir, name) == exp
+
+
+def test_stream_checkpoint_resume(spark, transcripts, tmp_path):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    half1 = transcripts.filter(F.col("conv_id") < "conv_00025")
+    half2 = transcripts.filter(F.col("conv_id") >= "conv_00025")
+    half1.coalesce(1).write.mode("append").parquet(in_dir)
+
+    run_stream_to_completion(spark, in_dir, out_dir)
+    n_epochs_1 = len(glob.glob(os.path.join(out_dir, "sinks", "errors", "epoch=*")))
+    assert n_epochs_1 >= 1
+
+    # new files arrive; restart with the same checkpoint
+    half2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_stream_to_completion(spark, in_dir, out_dir)
+
+    # resumed run added epochs instead of reprocessing old ones
+    n_epochs_2 = len(glob.glob(os.path.join(out_dir, "sinks", "errors", "epoch=*")))
+    assert n_epochs_2 > n_epochs_1
+
+    batch = parsed_view(spark, transcripts)
+    for name, route in ROUTES.items():
+        exp = sorted(
+            (r.conv_id, r.turn_idx)
+            for r in batch.filter(route.spark_pred()).select(*KEY).collect()
+        )
+        assert _routed_keys(spark, out_dir, name) == exp  # no dups, no gaps
+
+
+def test_windowed_counts_matches_batch(spark, transcripts, tmp_path):
+    in_dir = str(tmp_path / "in")
+    transcripts.write.parquet(in_dir)
+    stream = read_transcript_stream(spark, in_dir, max_files_per_trigger=100)
+    q = (
+        windowed_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.bucket), r.role): r.n
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    exp = {
+        (str(r.bucket), r.role): r.n
+        for r in transcripts.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "role"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp
