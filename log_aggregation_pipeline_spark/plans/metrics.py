@@ -1,0 +1,85 @@
+"""Per-partition metrics records (SURVEY.md §2.11, A6).
+
+The reference tracks Processed/Failed/Dropped counters and a broken
+"moving average" latency per pipeline
+(/root/reference/pkg/pipeline/pipeline.go:154-181 — ``(old+new)/2``).
+The Spark rebuild records true per-partition metrics instead: one
+record per (Spark partition, sink) with row counts, parse health,
+payload bytes and wall time — emitted by a ``mapInPandas`` stage (the
+UDTF-shaped plugin surface), consuming Arrow batches and yielding a
+tiny summary frame per partition.  Wall-clock appears ONLY here:
+metrics are operational metadata, never data-plane (SURVEY.md §7).
+
+Dropped is structurally zero in batch Spark (no backpressure drops,
+R2) — the column exists to make that invariant explicit and testable.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("sink", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_parse_failed", T.LongType()),
+        T.StructField("n_dropped", T.LongType()),
+        T.StructField("text_bytes", T.LongType()),
+        T.StructField("min_ts", T.TimestampType()),
+        T.StructField("max_ts", T.TimestampType()),
+        T.StructField("wall_ms", T.DoubleType()),
+    ]
+)
+
+
+def partition_metrics(df: DataFrame, sink_col: str | None = "sink") -> DataFrame:
+    """One metrics row per (partition, sink) — or per partition when
+    ``sink_col`` is None/absent."""
+    has_sink = sink_col is not None and sink_col in df.columns
+    cols = ["ts", "text"] + (["parse_ok"] if "parse_ok" in df.columns else [])
+    if has_sink:
+        cols.append(sink_col)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.perf_counter()
+        pid = TaskContext.get().partitionId()
+        acc: dict[str, dict] = {}
+        for pdf in batches:
+            groups = pdf.groupby(pdf[sink_col]) if has_sink else [("", pdf)]
+            for key, g in groups:
+                a = acc.setdefault(
+                    key,
+                    {"n": 0, "failed": 0, "bytes": 0, "min": None, "max": None},
+                )
+                a["n"] += len(g)
+                if "parse_ok" in g:
+                    a["failed"] += int((~g["parse_ok"].astype(bool)).sum())
+                a["bytes"] += int(g["text"].str.len().fillna(0).sum())
+                lo, hi = g["ts"].min(), g["ts"].max()
+                a["min"] = lo if a["min"] is None else min(a["min"], lo)
+                a["max"] = hi if a["max"] is None else max(a["max"], hi)
+        wall = (time.perf_counter() - t0) * 1000
+        if not acc:
+            return
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid] * len(acc),
+                "sink": list(acc),
+                "n_rows": [a["n"] for a in acc.values()],
+                "n_parse_failed": [a["failed"] for a in acc.values()],
+                "n_dropped": [0] * len(acc),  # batch Spark never drops (R2)
+                "text_bytes": [a["bytes"] for a in acc.values()],
+                "min_ts": [a["min"] for a in acc.values()],
+                "max_ts": [a["max"] for a in acc.values()],
+                "wall_ms": [wall] * len(acc),
+            }
+        )
+
+    return df.select(*cols).mapInPandas(emit, METRICS_SCHEMA)

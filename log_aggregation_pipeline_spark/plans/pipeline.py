@@ -173,6 +173,7 @@ def run_pipeline(
     salted_agg: bool = False,
     fail_after_sinks: int | None = None,
     write_aggs: bool = True,
+    emit_metrics: bool = True,
 ) -> PipelineResult:
     """Run (or resume) the full parse->enrich->route->aggregate job.
 
@@ -245,6 +246,18 @@ def run_pipeline(
                     "max_ts": str(r["max_ts"]),
                 }
             )
+
+    # Per-partition metrics records (mapInPandas emitter) over the
+    # written rows — same page-cached files as the stats scan.
+    if emit_metrics and wrote_any:
+        from .metrics import partition_metrics
+
+        written = spark.read.option("basePath", run_path).parquet(
+            os.path.join(run_path, "sink=*")
+        )
+        partition_metrics(written).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "metrics", f"run={run_id}")
+        )
 
     # Commit manifests sink-by-sink (the resume checkpoint points).
     for i, name in enumerate(ROUTES):

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the pipeline (north rule: runs via
+``spark-submit --py-files`` on multi-executor clusters).
+
+Usage (cluster):
+
+    python scripts/make_pyfiles.py dist/lap.zip
+    spark-submit --master <cluster> --py-files dist/lap.zip \
+        scripts/submit_pipeline.py \
+        --events <dir-with-events.parquet> --out <output-dir> [--impl pandas]
+
+On a cluster, ``--master``/executor counts come from spark-submit; the
+session builder only adds the engine's tuned confs (AQE, Arrow, UTC).
+Prints one JSON line with sink counts + timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", required=True, help="dir containing events.parquet")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--impl", default="pandas", choices=["pandas", "native"])
+    ap.add_argument("--salted-agg", action="store_true")
+    ap.add_argument("--replicate", type=int, default=1)
+    args = ap.parse_args()
+
+    # Imports must resolve from the --py-files zip on executors.
+    from pyspark.sql import SparkSession
+
+    from log_aggregation_pipeline_spark.plans.pipeline import run_pipeline
+    from log_aggregation_pipeline_spark.sources.transcripts import (
+        transcripts_from_events,
+    )
+
+    # Session: respect spark-submit's master/conf; add engine tuning.
+    spark = (
+        SparkSession.builder.appName("lap-pipeline")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    transcripts = transcripts_from_events(spark, args.events)
+    if args.replicate > 1:
+        from bench import replicate_transcripts  # only when bench.py shipped
+
+        transcripts = replicate_transcripts(spark, args.events, args.replicate)
+
+    t0 = time.perf_counter()
+    res = run_pipeline(
+        spark, transcripts, args.out, impl=args.impl, salted_agg=args.salted_agg
+    )
+    wall = time.perf_counter() - t0
+    total = sum(res.sink_counts.values())
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "sink_counts": res.sink_counts,
+                "skipped_hours": {k: len(v) for k, v in res.skipped.items()},
+                "wall_sec": round(wall, 3),
+                "routed_rows_per_sec": round(total / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
