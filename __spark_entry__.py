@@ -33,7 +33,11 @@ from log_aggregation_pipeline_spark.operators.query import (
     get_by_id,
     search,
 )
+from log_aggregation_pipeline_spark.operators.agg import pivot_counts, rollup_counts
+from log_aggregation_pipeline_spark.operators.order import sessionize, top_k_per_group
+from log_aggregation_pipeline_spark.operators.parse import parse_kv
 from log_aggregation_pipeline_spark.operators.route import ROUTES, route_one
+from log_aggregation_pipeline_spark.operators.search_syntax import compile_query
 from log_aggregation_pipeline_spark.operators.transform import build_chain
 from log_aggregation_pipeline_spark.sources.transcripts import (
     transcripts_cte,
@@ -53,6 +57,8 @@ SEARCH_Q = SearchQuery(
     offset=50,
     fields=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
 )
+SYNTAX_QUERY = "level:ERROR AND ts:[2024-01-05 TO 2024-01-20] AND (role:user OR role:system)"
+PIVOT_LEVELS = ["DEBUG", "INFO", "WARN", "ERROR", "FATAL"]
 PROCESSOR_CHAIN = [
     {"type": "trim", "fields": ["text"]},
     {"type": "lowercase", "fields": ["text"]},
@@ -185,11 +191,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[f"agg_conv_hour_{sink}"] = _mk_conv_hour(sink, salted=False)
     q["agg_conv_hour_errors_salted"] = _mk_conv_hour("errors", salted=True)
 
-    # query engine (F1-F3, O1-O4, S9) + processor chain (T4-T6)
+    # query engine (F1-F4, O1-O4, S9) + processor chain (T4-T6)
     q["search_page"] = _q_search_page
     q["processor_chain"] = _q_processor_chain
     q["point_lookup_by_id"] = _q_point_lookup
     q["events_stats_by_type"] = _q_events_stats
+    q["search_syntax_filter"] = lambda s, d: _parsed(s, d).filter(
+        compile_query(SYNTAX_QUERY)
+    ).select(*_ROUTED_COLS)
+    q["kv_fields_exploded"] = lambda s, d: parse_kv(
+        transcripts_from_events(s, d)
+    ).select("conv_id", "turn_idx", F.explode("fields").alias("key", "value"))
+    q["sessionize_30m"] = lambda s, d: sessionize(
+        transcripts_from_events(s, d), gap_minutes=30
+    ).select("conv_id", "turn_idx", "session_id")
+    q["top5_convs_per_role"] = lambda s, d: top_k_per_group(
+        transcripts_from_events(s, d)
+        .groupBy("role", "conv_id")
+        .agg(F.count("*").alias("n")),
+        ["role"], "n", 5, tiebreakers=["conv_id"],
+    )
+    q["pivot_role_level"] = lambda s, d: pivot_counts(
+        _parsed(s, d), "role", "level", PIVOT_LEVELS
+    )
+    q["rollup_role_level"] = lambda s, d: rollup_counts(_parsed(s, d), ["role", "level"])
+    q["set_intersect_errors_users"] = lambda s, d: (
+        route_one(_parsed(s, d), "errors").select("conv_id")
+        .intersect(route_one(_parsed(s, d), "user_turns").select("conv_id"))
+    )
+    q["set_except_errors_tools"] = lambda s, d: (
+        route_one(_parsed(s, d), "errors").select("conv_id", "turn_idx")
+        .exceptAll(route_one(_parsed(s, d), "tool_calls").select("conv_id", "turn_idx"))
+    )
 
     # training-data ops: dedup / text analysis / similarity
     q["doc_dedup_exact_groups"] = lambda s, d: dedupe.exact_dedup_groups(_docs(s, d))
@@ -288,6 +321,54 @@ def oracle_sql() -> dict[str, str]:
                round(avg(value), 4) AS avg_v, min(value) AS min_v,
                max(value) AS max_v
         FROM events GROUP BY event_type"""
+
+    o["search_syntax_filter"] = P + """
+        SELECT id, conv_id, turn_idx, role, tool, level, error_code, text, ts
+        FROM parsed
+        WHERE level = 'ERROR' AND ts BETWEEN '2024-01-05' AND '2024-01-20'
+          AND (role = 'user' OR role = 'system')"""
+    o["kv_fields_exploded"] = transcripts_cte("events") + r"""
+        SELECT conv_id, turn_idx,
+               regexp_extract(p, '^(\w+)=', 1) AS key,
+               regexp_extract(p, '[^=]*$') AS value
+        FROM (SELECT conv_id, turn_idx,
+                     unnest(regexp_extract_all(text, '(\w+)=(\S+)')) AS p
+              FROM transcripts)"""
+    o["sessionize_30m"] = transcripts_cte("events") + """
+        SELECT conv_id, turn_idx,
+               CAST(sum(new_s) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        FROM (SELECT conv_id, turn_idx,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                            PARTITION BY conv_id ORDER BY turn_idx) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM transcripts)"""
+    o["top5_convs_per_role"] = transcripts_cte("events") + """
+        SELECT role, conv_id, n, CAST(rank AS INT) AS rank FROM (
+          SELECT role, conv_id, n,
+                 row_number() OVER (PARTITION BY role ORDER BY n DESC, conv_id ASC) AS rank
+          FROM (SELECT role, conv_id, count(*) AS n FROM transcripts GROUP BY 1, 2))
+        WHERE rank <= 5"""
+    o["pivot_role_level"] = P + """
+        SELECT role,
+          coalesce(sum(CASE WHEN level = 'DEBUG' THEN 1 END), 0) AS "DEBUG",
+          coalesce(sum(CASE WHEN level = 'INFO'  THEN 1 END), 0) AS "INFO",
+          coalesce(sum(CASE WHEN level = 'WARN'  THEN 1 END), 0) AS "WARN",
+          coalesce(sum(CASE WHEN level = 'ERROR' THEN 1 END), 0) AS "ERROR",
+          coalesce(sum(CASE WHEN level = 'FATAL' THEN 1 END), 0) AS "FATAL"
+        FROM parsed GROUP BY role"""
+    o["rollup_role_level"] = P + """
+        SELECT role, level, count(*) AS n,
+               CAST(grouping(role) * 2 + grouping(level) AS INT) AS gid
+        FROM parsed GROUP BY ROLLUP(role, level)"""
+    o["set_intersect_errors_users"] = P + f"""
+        SELECT conv_id FROM parsed WHERE {oracle.route_where('errors')}
+        INTERSECT
+        SELECT conv_id FROM parsed WHERE {oracle.route_where('user_turns')}"""
+    o["set_except_errors_tools"] = P + f"""
+        SELECT conv_id, turn_idx FROM parsed WHERE {oracle.route_where('errors')}
+        EXCEPT ALL
+        SELECT conv_id, turn_idx FROM parsed WHERE {oracle.route_where('tool_calls')}"""
 
     o["doc_dedup_exact_groups"] = oracle.exact_dedup_groups_sql()
     o["doc_ngram_jaccard_pairs"] = oracle.ngram_jaccard_sql(JACCARD_K, JACCARD_T)

@@ -119,6 +119,26 @@ def conv_hour_agg(
     )
 
 
+def pivot_counts(
+    df: DataFrame, row_col: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Cross-tab counts: one row per ``row_col``, one column per
+    pinned ``pivot_col`` value.  Values are pinned so the plan is a
+    single pass (no distinct-values pre-query) and the output schema
+    is stable for the oracle."""
+    return df.groupBy(row_col).pivot(pivot_col, values).count().na.fill(0, values)
+
+
+def rollup_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Hierarchical subtotals (GROUP BY ROLLUP): counts at every
+    prefix level.  ``gid`` (grouping_id) distinguishes NULL-as-data
+    from NULL-as-subtotal — required because e.g. ``level`` is
+    legitimately NULL for unparseable rows."""
+    return df.rollup(*cols).agg(
+        F.count("*").alias("n"), F.grouping_id().alias("gid")
+    )
+
+
 def limited_terms_agg_compat(
     df: DataFrame, field: str, limit: int, ts_col: str = "ts"
 ) -> DataFrame:

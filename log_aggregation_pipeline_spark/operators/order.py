@@ -35,3 +35,41 @@ def ordered_turn_triples(df: DataFrame) -> DataFrame:
     """(conv_id, turn_idx, text) in stable order — the equality
     fixture surface (FIXTURES.md §3)."""
     return df.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx")
+
+
+def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions within a conversation: a new session starts
+    when the pause since the previous turn exceeds ``gap_minutes``.
+    Classic lag + conditional cumsum over the turn window — one
+    shuffle on conv_id, state never crosses a conversation.
+    ``session_id`` is 0-based per conversation."""
+    w = turn_window()
+    secs = F.col("ts").cast("timestamp").cast("double")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap <= gap_minutes * 60), F.lit(0)
+    ).otherwise(F.lit(1))
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows per group by descending order_col — the standard
+    ranking-window + filter plan (per-partition heap after AQE; no
+    global sort)."""
+    keys = [F.desc(order_col)] + [F.asc(c) for c in (tiebreakers or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*keys)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -340,3 +340,43 @@ def grok_to_regex(pattern: str, extra: dict[str, str] | None = None) -> str:
 
 def parse_grok(df: DataFrame, grok: str, raw_col: str = "text", **kw) -> DataFrame:
     return parse_regex(df, grok_to_regex(grok, **kw), raw_col=raw_col)
+
+
+# ---------------------------------------------------------------------------
+# KV / CSV parsers (declared-only in the reference: blueprint.md:226-233,
+# README.md:58-59 list them as planned sources/parsers).
+# ---------------------------------------------------------------------------
+KV_PATTERN = r"(\w+)=(\S+)"
+
+
+def kv_fields(col: Column | str) -> Column:
+    """All ``key=value`` tokens as a map<string,string> — pure JVM:
+    regexp_extract_all for keys and values (same pattern, different
+    group) zipped with map_from_arrays.  Duplicate keys keep the LAST
+    occurrence (map semantics), matching logfmt convention."""
+    c = F.col(col) if isinstance(col, str) else col
+    pairs = F.regexp_extract_all(c, F.lit(KV_PATTERN), F.lit(0))
+    keys = F.transform(pairs, lambda p: F.split(p, "=")[0])
+    vals = F.transform(pairs, lambda p: F.substring_index(p, "=", -1))
+    return F.map_from_arrays(keys, vals)
+
+
+def parse_kv(df: DataFrame, raw_col: str = "text") -> DataFrame:
+    """logfmt-style parse: fields map + parse_ok (any pair found)."""
+    df = df.withColumn("fields", kv_fields(raw_col))
+    return df.withColumn("parse_ok", F.size(F.map_keys("fields")) > 0)
+
+
+def parse_csv_lines(
+    df: DataFrame,
+    schema: str,
+    raw_col: str = "raw",
+    sep: str = ",",
+) -> DataFrame:
+    """CSV line parse via ``from_csv`` (native, codegen).  ``schema``
+    is a DDL string like ``'a INT, b STRING'``."""
+    parsed = F.from_csv(F.col(raw_col), F.lit(schema), {"sep": sep})
+    df = df.withColumn("_csv", parsed)
+    for field in df.select("_csv.*").columns:
+        df = df.withColumn(field, F.col(f"_csv.{field}"))
+    return df.drop("_csv").withColumn("parse_ok", F.col(raw_col).isNotNull())
