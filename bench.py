@@ -127,6 +127,9 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
 
         parsed = lambda: parse_transcripts(transcripts_from_events(spark, sf_dir))  # noqa: E731
         timed("parse_level_terms", lambda: noop(terms_agg(parsed(), "level")))
+        timed("parse_native_terms", lambda: noop(terms_agg(
+            parse_transcripts(transcripts_from_events(spark, sf_dir), impl="native"),
+            "level")))
         timed("route_errors", lambda: noop(route_one(parsed(), "errors")))
         timed("agg_conv_hour_errors",
               lambda: noop(conv_hour_agg(route_one(parsed(), "errors"))))
@@ -141,6 +144,32 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         timed("date_histogram_hour",
               lambda: noop(date_histogram(
                   spark.read.parquet(f"{sf_dir}/events.parquet"), "ts", "hour")))
+
+        # query engine + training-data operators
+        from log_aggregation_pipeline_spark.operators.dedupe import (
+            minhash_lsh_pairs,
+        )
+        from log_aggregation_pipeline_spark.operators.order import sessionize
+        from log_aggregation_pipeline_spark.operators.query import (
+            SearchQuery,
+            search,
+        )
+        from log_aggregation_pipeline_spark.operators.similarity import (
+            topk_mapinpandas,
+        )
+
+        timed("search_page", lambda: noop(search(
+            transcripts_from_events(spark, sf_dir),
+            SearchQuery(query="code=e", start="2024-01-05 00:00:00",
+                        end="2024-01-20 00:00:00", limit=200, offset=50),
+            tiebreakers=("conv_id", "turn_idx"))))
+        timed("sessionize", lambda: noop(sessionize(
+            transcripts_from_events(spark, sf_dir))))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        timed("minhash_lsh_pairs", lambda: noop(minhash_lsh_pairs(docs)))
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [float(x) for x in emb.first()["embedding"]]
+        timed("ann_topk_blas", lambda: noop(topk_mapinpandas(emb, qv, 10)))
 
     spark.stop()
     total = round(sum(timings.values()), 4)

@@ -40,10 +40,16 @@ def content_hash(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-grams as an array<string> — pure expressions
-    (split + sequence + transform), no UDF."""
-    toks = F.split(normalize_text(col), " ")
+def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams from a MATERIALIZED token-array column.
+
+    The tokens must be a plain column reference, not an inline
+    expression: the transform lambda references them ~3·|shingles|
+    times, and Catalyst inlines (re-evaluates) expression arguments
+    per reference — an inline split(regexp_replace(...)) makes the
+    shingle step O(words²) regex work (measured 19 s for 5k docs vs
+    0.3 s materialized)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
@@ -52,6 +58,15 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
         ),
     )
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array()))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams as an array<string> — pure expressions.
+
+    Convenience form over an inline text column; prefer
+    ``_shingle_df``/``shingles_from_tokens`` in loops and joins (see
+    the O(words²) note there)."""
+    return shingles_from_tokens(F.split(normalize_text(col), " "), k)
 
 
 # ---------------------------------------------------------------------------
@@ -98,9 +113,7 @@ def ngram_jaccard_pairs(
     (f² candidate pairs each); exactness then holds for pairs sharing
     at least one sub-cap shingle (document the cap when used).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    sh = _shingle_df(df, k, text_col, id_col)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     ex = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
@@ -130,20 +143,33 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def _shingle_df(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+    # two projections: tokens materialize first, shingles reference
+    # them as an attribute (see shingles_from_tokens perf note)
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(normalize_text(text_col), " ").alias("_toks"),
+        )
+        .select("_id", shingles_from_tokens("_toks", k).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<bigint>): sig[i] = min over shingles of
     xxhash64(shingle, seed=i).  One explode + one hash-aggregate; the
     per-seed mins are map-side combined, so the shuffle carries only
     num_hashes longs per doc."""
-    ex = df.select(
-        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("_s")
-    )
+    sh = shingles if shingles is not None else _shingle_df(df, k, text_col, id_col)
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
     mins = ex.groupBy("_id").agg(
         *[
             F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"h{i}")
@@ -173,7 +199,11 @@ def minhash_lsh_pairs(
     Returns (a_id, b_id, jaccard).
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, k, text_col, id_col)
+    # shingle arrays are consumed twice (signatures + exact verify):
+    # compute once, persist — the expression tree (split/sequence/
+    # element_at x k) is the expensive part, not the data volume.
+    sh = _shingle_df(df, k, text_col, id_col).persist()
+    sig = minhash_signatures(df, num_hashes, k, text_col, id_col, shingles=sh)
     banded = sig.select(
         "_id",
         F.explode(
@@ -202,9 +232,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify on the (small) candidate set
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
-    )
     out = (
         cand.join(sh.withColumnsRenamed({"_id": "a_id", "_sh": "sha"}), "a_id")
         .join(sh.withColumnsRenamed({"_id": "b_id", "_sh": "shb"}), "b_id")

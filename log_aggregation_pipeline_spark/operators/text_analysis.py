@@ -134,8 +134,13 @@ def rolling_fingerprint(col: Column | str, window: int = 16, keep: int = 4) -> C
     """Winnowing-lite: hash every ``window``-char rolling substring
     (xxhash64), keep the ``keep`` smallest — a compact sketch that two
     near-identical documents mostly share.  Pure expressions:
-    sequence -> substr -> hash -> array_sort -> slice."""
-    c = normalize_text(col)
+    sequence -> substr -> hash -> array_sort -> slice.
+
+    ``col`` should be a MATERIALIZED normalized-text column reference:
+    the transform lambda references it once per window position, and
+    Catalyst re-evaluates inline expression arguments per reference
+    (same O(len²) trap as dedupe.shingles_from_tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
@@ -145,6 +150,9 @@ def rolling_fingerprint(col: Column | str, window: int = 16, keep: int = 4) -> C
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("fp", fingerprint(text_col)).withColumn(
-        "fp_sketch", rolling_fingerprint(text_col)
+    return (
+        df.withColumn("_norm", normalize_text(text_col))
+        .withColumn("fp", F.md5(F.col("_norm")))
+        .withColumn("fp_sketch", rolling_fingerprint(F.col("_norm")))
+        .drop("_norm")
     )

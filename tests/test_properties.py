@@ -1,0 +1,78 @@
+"""Property-based tests (SURVEY.md §5.5, hypothesis).
+
+Parse is TOTAL over arbitrary text, and routing partitions exactly by
+the predicate truth table — on randomized inputs, batched per example
+so Spark runs once per hypothesis case."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from log_aggregation_pipeline_spark.operators.parse import parse_transcripts
+from log_aggregation_pipeline_spark.operators.route import ROUTES, route_pandas
+from log_aggregation_pipeline_spark.schema import TRANSCRIPT_SCHEMA
+
+_spark = None  # set by the fixture-less hypothesis path via conftest's session
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from log_aggregation_pipeline_spark.session import get_spark
+
+        _spark = get_spark(app_name="lap-tests", cores=8, shuffle_partitions=8)
+    return _spark
+
+
+text_strategy = st.one_of(
+    st.text(max_size=80),
+    st.from_regex(r"(ERROR|INFO|garbled|WARN)[ a-z=0-9]{0,40}", fullmatch=True),
+    st.from_regex(r"[A-Z]{1,8} svc=\w{1,5} code=E\d{3}", fullmatch=True),
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["c1", "c2", "c3"]),
+        st.integers(0, 500),
+        st.sampled_from(["user", "assistant", "system", "tool", ""]),
+        text_strategy,
+        st.sampled_from([None, "", "search", "exec"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _to_df(rows):
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool"]
+    ).astype({"turn_idx": "int32"})
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        pdf["turn_idx"], unit="m"
+    )
+    return _get_spark().createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=rows_strategy)
+def test_parse_is_total(rows):
+    df = _to_df(rows)
+    parsed = parse_transcripts(df)
+    out = parsed.select("level", "parse_ok").toPandas()
+    assert len(out) == len(rows)  # never throws, never drops
+    # parse_ok=false <=> no level extracted
+    assert (out["level"].notna() == out["parse_ok"]).all()
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=rows_strategy)
+def test_route_matches_truth_table(rows):
+    df = _to_df(rows)
+    parsed = parse_transcripts(df)
+    pdf = parsed.toPandas()
+    expected = route_pandas(pdf)
+    for name, route in ROUTES.items():
+        got = parsed.filter(route.spark_pred()).count()
+        assert got == len(expected[name])
