@@ -263,6 +263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = lambda s, d: similarity.lsh_topk(
         _emb(s, d), _query_vec(s, d), k=ANN_K
     )
+
+    def _ann_ivf(s, d):
+        emb = _emb(s, d)
+        cent = similarity.train_ivf_centroids(emb, n_centroids=8)
+        return similarity.ivf_topk(emb, _query_vec(s, d), cent, k=ANN_K, nprobe=4)
+
+    q["ann_ivf_topk"] = _ann_ivf
     q["media_decode_features"] = lambda s, d: multimodal.decode_media(
         multimodal.fake_media_df(s, d)
     )

@@ -199,25 +199,45 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = (2, 8)) -> dict:
     costs (~5 s: job scheduling, commit, manifest) amortize — scaling
     efficiency is an asymptotic property of the job, not of JVM
     startup."""
-    env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_REPL", "300")
-    env.setdefault("SPARK_GRAFT_REPEATS", "2")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    repl = int(os.environ.get("SPARK_GRAFT_REPL", "300"))
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    # package + run THROUGH spark-submit --py-files (the north rule's
+    # literal deployment mechanism), one fresh JVM per level
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="lap_dist_"), "lap.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "make_pyfiles.py"), zip_path],
+        check=True, capture_output=True,
+    )
     results = {}
     for cores in levels:
-        out = subprocess.run(
-            [sys.executable, __file__, "--cores", str(cores), "--sf-dir", sf_dir,
-             "--pipeline-only"],
-            capture_output=True, text=True, check=True, cwd=os.path.dirname(__file__),
-            env=env,
-        )
-        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        out_dir = tempfile.mkdtemp(prefix=f"lap_scale_{cores}_")
+        try:
+            out = subprocess.run(
+                [
+                    "spark-submit", "--master", f"local[{cores}]",
+                    "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "24g"),
+                    "--conf", f"spark.sql.shuffle.partitions={cores}",
+                    "--conf", "spark.sql.session.timeZone=UTC",
+                    "--py-files", zip_path,
+                    os.path.join(repo, "scripts", "submit_pipeline.py"),
+                    "--events", sf_dir, "--out", os.path.join(out_dir, "out"),
+                    "--replicate", str(repl), "--repeats", str(repeats),
+                ],
+                capture_output=True, text=True, check=True, cwd=repo,
+            )
+            results[cores] = json.loads(
+                [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            )
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
     lo, hi = levels
-    thr_lo = results[lo]["turns_per_sec_sustained"]
-    thr_hi = results[hi]["turns_per_sec_sustained"]
+    thr_lo = results[lo]["turns_per_sec"]
+    thr_hi = results[hi]["turns_per_sec"]
     eff = round((thr_hi / thr_lo) / (hi / lo), 3)
     report = {
-        "sf": results[lo]["sf"],
-        "n_turns": results[lo]["n_turns_sustained"],
+        "sf": _sf_from_dir(sf_dir),
+        "n_turns": results[lo]["n_turns"],
         f"turns_per_sec_local{lo}": thr_lo,
         f"turns_per_sec_local{hi}": thr_hi,
         "speedup": round(thr_hi / thr_lo, 3),

@@ -134,6 +134,86 @@ def random_hyperplane_buckets(
     return df.withColumn("bucket", bucket_expr(vec_col, _hyperplanes(dim, bits, seed)))
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    seed: int = 29,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a deterministic driver-side
+    sample (lowest ids — seeded numpy init, fixed iterations).  At
+    corpus scale the sample is a LIMIT over any partition; the k-means
+    itself is O(sample x k x iters) on the driver — never distributed
+    work."""
+    pdf = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .toPandas()
+    )
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) or 1.0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the nearest-centroid cluster id — one numpy argmax gemm
+    per Arrow batch.  At scale this runs once at ingest and the table
+    is written partitioned/bucketed by cluster, so queries scan only
+    probed clusters (partition pruning does the candidate cut)."""
+    cent = centroids  # closure; broadcast with the serialized task
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf["cluster"] = (m @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    # fresh StructType — StructType.add mutates in place, corrupting
+    # the source df's cached Python-side schema
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cluster", T.IntegerType())]
+    )
+    return df.mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only the ``nprobe`` clusters nearest the
+    query.  Recall follows nprobe/n_centroids; exact within probed
+    clusters (scores match brute_topk)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    cand = ivf_assign(df, centroids, vec_col).filter(
+        F.col("cluster").isin(*[int(p) for p in probes])
+    )
+    return brute_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -102,6 +102,29 @@ def test_lsh_topk_subset_semantics(sf_emb):
             assert abs(r.cosine - brute[r.vec_id]) < 1e-9
 
 
+def test_ivf_topk(sf_emb):
+    q = [float(x) for x in sf_emb.filter("vec_id = 0").first()["embedding"]]
+    cent = S.train_ivf_centroids(sf_emb, n_centroids=8)
+    assert cent.shape[1] == 64
+    # cluster assignment is total and deterministic
+    a = S.ivf_assign(sf_emb, cent).groupBy("cluster").count().orderBy("cluster")
+    b = S.ivf_assign(sf_emb, cent).groupBy("cluster").count().orderBy("cluster")
+    assert a.collect() == b.collect()
+    assert S.ivf_assign(sf_emb, cent).count() == sf_emb.count()
+
+    brute = {r.vec_id: r.cosine for r in S.brute_topk(sf_emb, q, 10).collect()}
+    ivf = S.ivf_topk(sf_emb, q, cent, k=10, nprobe=4).collect()
+    assert ivf[0].vec_id == 0  # the query vector's own cluster is probed first
+    for r in ivf:  # exact within probed clusters
+        if r.vec_id in brute:
+            assert abs(r.cosine - brute[r.vec_id]) < 1e-9
+    # probing everything = exact brute force
+    full = S.ivf_topk(sf_emb, q, cent, k=10, nprobe=8).collect()
+    assert [(r.vec_id, r.cosine) for r in full] == sorted(
+        brute.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+
+
 def test_bucket_count_bounded(sf_emb):
     b = S.random_hyperplane_buckets(sf_emb, bits=8)
     assert b.select("bucket").distinct().count() <= 256
