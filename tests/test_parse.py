@@ -85,6 +85,19 @@ def test_regex_no_match_is_total(spark):
     assert r.timestamp is None
 
 
+# --- P3 unix seconds (parser.go:132 time.Unix path) --------------------------
+def test_timestamp_unix_seconds(spark):
+    from log_aggregation_pipeline_spark.functions.timestamps import multi_format_ts
+
+    df = spark.createDataFrame(
+        [Row(raw="1704110400"), Row(raw="1704110400.5"), Row(raw="not a ts")]
+    )
+    rows = df.select(multi_format_ts("raw").alias("t")).collect()
+    assert str(rows[0].t) == "2024-01-01 12:00:00"
+    assert str(rows[1].t) == "2024-01-01 12:00:00.500000"
+    assert rows[2].t is None  # total: unparseable -> NULL
+
+
 # --- P5 nginx (parser_test.go:75-110) ---------------------------------------
 NGINX_LINE = (
     '192.168.1.1 - user1 [01/Jan/2024:12:00:00 +0000] '
