@@ -165,6 +165,53 @@ def _q_point_lookup(spark, sf_dir):
     return get_by_id(parsed, target["id"]).select("id", "conv_id", "turn_idx", "text")
 
 
+def _q_tpch_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_asof_prior_error(spark, sf_dir):
+    from log_aggregation_pipeline_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "event_id", "ts")
+    errors = ev.filter("event_type = 'error'").select(
+        "user_id", F.col("event_id").alias("err_id"), "ts"
+    )
+    return asof_join(purchases, errors, on="ts", by="user_id", right_cols=["err_id"])
+
+
 def _q_events_stats(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return stats_agg(ev, ["event_type"], "value").select(
@@ -196,6 +243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["processor_chain"] = _q_processor_chain
     q["point_lookup_by_id"] = _q_point_lookup
     q["events_stats_by_type"] = _q_events_stats
+    # relational: big-big joins + as-of (custom cogrouped-pandas op)
+    q["tpch_pricing_summary"] = _q_tpch_pricing
+    q["revenue_by_nation"] = _q_revenue_by_nation
+    q["asof_prior_error"] = _q_asof_prior_error
+
     q["search_syntax_filter"] = lambda s, d: _parsed(s, d).filter(
         compile_query(SYNTAX_QUERY)
     ).select(*_ROUTED_COLS)
@@ -328,6 +380,31 @@ def oracle_sql() -> dict[str, str]:
                round(avg(value), 4) AS avg_v, min(value) AS min_v,
                max(value) AS max_v
         FROM events GROUP BY event_type"""
+
+    o["tpch_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""
+    o["revenue_by_nation"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name"""
+    o["asof_prior_error"] = """
+        SELECT p.user_id, p.event_id, p.ts,
+               e.ts AS ts_asof, e.event_id AS err_id_asof
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON p.user_id = e.user_id AND p.ts >= e.ts"""
 
     o["search_syntax_filter"] = P + """
         SELECT id, conv_id, turn_idx, role, tool, level, error_code, text, ts
