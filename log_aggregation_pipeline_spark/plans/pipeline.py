@@ -174,6 +174,7 @@ def run_pipeline(
     fail_after_sinks: int | None = None,
     write_aggs: bool = True,
     emit_metrics: bool = True,
+    codec: str = "snappy",
 ) -> PipelineResult:
     """Run (or resume) the full parse->enrich->route->aggregate job.
 
@@ -211,10 +212,13 @@ def run_pipeline(
         tagged.filter(~reduce(lambda a, b: a | b, excludes)) if excludes else tagged
     )
 
+    # codec: snappy for hot-path speed; zstd for storage-bound tables
+    # (the reference ships gzip/snappy/lz4 tradeoffs, README.md:433-438)
     run_path = os.path.join(sinks_root(out_dir), f"run={run_id}")
     (
         pending.sortWithinPartitions("sink", "hour_key")
         .write.mode("overwrite")
+        .option("compression", codec)
         .partitionBy("sink")
         .parquet(run_path)
     )
@@ -273,6 +277,9 @@ def run_pipeline(
     # (sink, conv_id, hour), one write partitioned by sink.
     if write_aggs:
         manifest = L.read_manifest(out_dir)
+        if manifest.empty:  # nothing ever committed (e.g. empty input)
+            res.sink_counts = {name: 0 for name in ROUTES}
+            return res
         agg = conv_hour_agg(
             read_all_sinks(spark, out_dir),
             salted=salted_agg,

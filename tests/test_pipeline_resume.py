@@ -79,6 +79,44 @@ def test_rerun_is_noop(spark, transcripts, tmp_path):
         pd.testing.assert_frame_equal(before[name], after[name])
 
 
+def test_empty_input_is_clean_noop(spark, transcripts, tmp_path):
+    out = str(tmp_path / "empty")
+    empty = transcripts.filter("1 = 0")
+    res = run_pipeline(spark, empty, out)
+    assert res.sink_counts == {name: 0 for name in ROUTES}
+    assert all(not v for v in res.committed.values())
+
+
+def test_orphan_gc(spark, transcripts, tmp_path):
+    import os
+
+    from log_aggregation_pipeline_spark.plans.pipeline import gc_orphan_runs
+
+    out = str(tmp_path / "gc")
+    run_pipeline(spark, transcripts, out)
+    # fake a crashed write: an unreferenced run dir + an uncommitted
+    # sink subdir inside a live run
+    orphan = os.path.join(out, "sinks", "run=deadbeef", "sink=errors")
+    os.makedirs(orphan)
+    live_run = next(
+        d for d in os.listdir(os.path.join(out, "sinks")) if d != "run=deadbeef"
+    )
+    ghost_sink = os.path.join(out, "sinks", live_run, "sink=ghost")
+    os.makedirs(ghost_sink)
+    removed = gc_orphan_runs(out)
+    assert "run=deadbeef" in removed
+    assert f"{live_run}/sink=ghost" in removed
+    assert not os.path.exists(orphan) and not os.path.exists(ghost_sink)
+    # committed data untouched
+    assert read_sink(spark, out, "errors").count() > 0
+
+
+def test_zstd_codec(spark, transcripts, tmp_path):
+    out = str(tmp_path / "z")
+    res = run_pipeline(spark, transcripts, out, codec="zstd")
+    assert read_sink(spark, out, "errors").count() == res.sink_counts["errors"]
+
+
 def test_aggs_written(spark, transcripts, tmp_path):
     out = str(tmp_path / "aggs")
     run_pipeline(spark, transcripts, out)
