@@ -130,11 +130,16 @@ def _transcript_extract(s: pd.Series) -> pd.DataFrame:
     )
 
 
-def parse_transcripts(df: DataFrame, impl: str = "pandas") -> DataFrame:
+def parse_transcripts(
+    df: DataFrame, impl: str = "pandas", with_fields: bool = False
+) -> DataFrame:
     """transcripts -> parsed view (LogEntry-envelope equivalent).
 
     Adds: id (deterministic md5), level_raw, level (normalized),
-    error_code, tool_sig, tool_args, parse_ok.
+    error_code, tool_sig, tool_args, parse_ok; with_fields=True also
+    attaches the LogEntry ``fields`` map<string,string> (every k=v
+    token in the text — the dynamic-payload escape hatch of
+    log_entry.go:42, SURVEY.md §1.1).
     """
     if impl == "pandas":
         df = df.withColumn("_ex", _transcript_extract(F.col("text")))
@@ -168,11 +173,14 @@ def parse_transcripts(df: DataFrame, impl: str = "pandas") -> DataFrame:
     else:  # pragma: no cover
         raise ValueError(f"unknown impl {impl!r}")
 
-    return (
+    out = (
         df.withColumn("id", deterministic_id())
         .withColumn("level", normalize_level("level_raw"))
         .withColumn("parse_ok", F.col("level_raw").isNotNull())
     )
+    if with_fields:
+        out = out.withColumn("fields", kv_fields("text"))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -138,6 +138,42 @@ def filter_contains(
 
 
 # ---------------------------------------------------------------------------
+# Tags array ops (LogEntry.Tags surface, log_entry.go:78-93:
+# AddTag appends-if-absent, HasTag membership).
+# ---------------------------------------------------------------------------
+TAGS_COL = "tags"
+
+
+def _tags(df: DataFrame) -> Column:
+    if not _has_col(df, TAGS_COL):
+        return F.array().cast("array<string>")
+    return F.coalesce(F.col(TAGS_COL), F.array().cast("array<string>"))
+
+
+def add_tags(tags: list[str]) -> Callable[[DataFrame], DataFrame]:
+    """Append-if-absent (set semantics, like AddTag's contains check)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            TAGS_COL, F.array_union(_tags(df), F.array(*[F.lit(t) for t in tags]))
+        )
+
+    return apply
+
+
+def has_tag(tag: str) -> Column:
+    return F.array_contains(F.col(TAGS_COL), tag)
+
+
+def filter_by_tag(tag: str, keep: bool = True) -> Callable[[DataFrame], DataFrame]:
+    def apply(df: DataFrame) -> DataFrame:
+        hit = F.coalesce(F.array_contains(_tags(df), tag), F.lit(False))
+        return df.filter(hit if keep else ~hit)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
 # Factory: config-driven chain (mirror of processor.go:202-257).
 # ---------------------------------------------------------------------------
 _FACTORY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = {
@@ -149,6 +185,8 @@ _FACTORY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = {
     "filter": lambda cfg: filter_contains(
         cfg["field"], cfg["pattern"], cfg.get("drop_if_match", True)
     ),
+    "add_tags": lambda cfg: add_tags(cfg["tags"]),
+    "filter_by_tag": lambda cfg: filter_by_tag(cfg["tag"], cfg.get("keep", True)),
 }
 
 

@@ -81,6 +81,36 @@ def test_build_chain(df):
     assert rows[0].fields["stage"] == "test"
 
 
+def test_tags_ops(spark):
+    from pyspark.sql import Row
+
+    from log_aggregation_pipeline_spark.operators.transform import (
+        add_tags,
+        filter_by_tag,
+        has_tag,
+    )
+
+    df = spark.createDataFrame(
+        [Row(msg="a", tags=["x"]), Row(msg="b", tags=None)]
+    )
+    tagged = df.transform(add_tags(["x", "prod"]))
+    rows = {r.msg: r.tags for r in tagged.collect()}
+    assert rows["a"] == ["x", "prod"]  # append-if-absent, no dup 'x'
+    assert rows["b"] == ["x", "prod"]  # NULL array ok
+    assert tagged.filter(has_tag("prod")).count() == 2
+    assert df.transform(filter_by_tag("x")).count() == 1
+    assert df.transform(filter_by_tag("x", keep=False)).count() == 1
+
+
+def test_parse_with_fields(spark, transcripts):
+    from log_aggregation_pipeline_spark.operators.parse import parse_transcripts
+
+    p = parse_transcripts(transcripts, with_fields=True)
+    r = p.filter("parse_ok AND error_code IS NOT NULL").first()
+    assert r.fields["svc"] == "api"
+    assert r.fields["code"] == "E" + r.error_code
+
+
 def test_build_chain_unknown_type():
     with pytest.raises(ValueError, match="unknown processor type"):
         build_chain([{"type": "nope"}])
