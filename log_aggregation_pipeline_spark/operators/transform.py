@@ -138,6 +138,53 @@ def filter_contains(
 
 
 # ---------------------------------------------------------------------------
+# T7 conditional processor (declared-only in the reference:
+# ProcessorConfig.Condition exists but is never evaluated,
+# processor.go:27-29) — apply a transform only to matching rows.
+# ---------------------------------------------------------------------------
+def conditional(
+    condition: Column | str, transform: Callable[[DataFrame], DataFrame]
+) -> Callable[[DataFrame], DataFrame]:
+    """Rows matching ``condition`` go through ``transform``; the rest
+    pass untouched.  Implemented as transform-then-union-complement so
+    arbitrary transforms (including column-adding ones) compose; both
+    branches come from one filter split, no join."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = df.filter(cond).transform(transform)
+        miss = df.filter(~F.coalesce(cond, F.lit(False)))
+        for c in hit.columns:
+            if c not in miss.columns:
+                miss = miss.withColumn(c, F.lit(None).cast(hit.schema[c].dataType))
+        return hit.unionByName(miss.select(*hit.columns))
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# F7 dedup / sampling filters (declared-only: blueprint.md:269-274).
+# ---------------------------------------------------------------------------
+def dedup_filter(keys: list[str] | None = None) -> Callable[[DataFrame], DataFrame]:
+    """Drop duplicate rows by key (default: the id column)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.dropDuplicates(keys or ["id"])
+
+    return apply
+
+
+def sample_filter(fraction: float, seed: int = 17) -> Callable[[DataFrame], DataFrame]:
+    """Bernoulli row sampling — seeded, so runs are reproducible
+    (never unseeded randomness, SURVEY.md §7)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.sample(fraction=fraction, seed=seed)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
 # Tags array ops (LogEntry.Tags surface, log_entry.go:78-93:
 # AddTag appends-if-absent, HasTag membership).
 # ---------------------------------------------------------------------------
@@ -187,6 +234,8 @@ _FACTORY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = {
     ),
     "add_tags": lambda cfg: add_tags(cfg["tags"]),
     "filter_by_tag": lambda cfg: filter_by_tag(cfg["tag"], cfg.get("keep", True)),
+    "dedup": lambda cfg: dedup_filter(cfg.get("keys")),
+    "sample": lambda cfg: sample_filter(cfg["fraction"], cfg.get("seed", 17)),
 }
 
 

@@ -111,6 +111,40 @@ def test_parse_with_fields(spark, transcripts):
     assert r.fields["code"] == "E" + r.error_code
 
 
+def test_conditional_processor(spark):
+    from pyspark.sql import functions as F
+
+    from log_aggregation_pipeline_spark.operators.transform import conditional
+
+    df = spark.createDataFrame(
+        [("ERROR boom",), ("info fine",), (None,)], "message string"
+    )
+    out = df.transform(
+        conditional("message LIKE 'ERROR%'", lowercase(["message"]))
+    ).collect()
+    msgs = sorted((r.message or "") for r in out)
+    assert msgs == ["", "error boom", "info fine"]  # only matches transformed
+    assert len(out) == 3  # NULL-condition rows pass through untouched
+
+
+def test_dedup_and_sample_filters(spark, transcripts):
+    from log_aggregation_pipeline_spark.functions.ids import deterministic_id
+    from log_aggregation_pipeline_spark.operators.transform import (
+        dedup_filter,
+        sample_filter,
+    )
+
+    with_id = transcripts.withColumn("id", deterministic_id())
+    doubled = with_id.unionByName(with_id)
+    assert doubled.transform(dedup_filter()).count() == with_id.count()
+
+    n = transcripts.count()
+    s1 = transcripts.transform(sample_filter(0.25)).count()
+    s2 = transcripts.transform(sample_filter(0.25)).count()
+    assert s1 == s2  # seeded => reproducible
+    assert 0.1 * n < s1 < 0.4 * n
+
+
 def test_build_chain_unknown_type():
     with pytest.raises(ValueError, match="unknown processor type"):
         build_chain([{"type": "nope"}])
