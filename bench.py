@@ -202,15 +202,16 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = (2, 8)) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     repl = int(os.environ.get("SPARK_GRAFT_REPL", "300"))
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
     # package + run THROUGH spark-submit --py-files (the north rule's
-    # literal deployment mechanism), one fresh JVM per level
+    # literal deployment mechanism), one fresh JVM per run
     zip_path = os.path.join(tempfile.mkdtemp(prefix="lap_dist_"), "lap.zip")
     subprocess.run(
         [sys.executable, os.path.join(repo, "scripts", "make_pyfiles.py"), zip_path],
         check=True, capture_output=True,
     )
-    results = {}
-    for cores in levels:
+
+    def one_run(cores: int) -> dict:
         out_dir = tempfile.mkdtemp(prefix=f"lap_scale_{cores}_")
         try:
             out = subprocess.run(
@@ -226,11 +227,26 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = (2, 8)) -> dict:
                 ],
                 capture_output=True, text=True, check=True, cwd=repo,
             )
-            results[cores] = json.loads(
+            return json.loads(
                 [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             )
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+    # INTERLEAVE the levels across rounds: this host's throughput
+    # drifts 2-3x over minutes, so measuring level A's runs in one
+    # phase and B's in another manufactures fake (anti-)scaling.
+    # Alternating rounds sample phases evenly; best-per-level is the
+    # honest estimate (noise is strictly additive).
+    results: dict[int, dict] = {}
+    for _ in range(rounds):
+        for cores in levels:
+            r = one_run(cores)
+            if (
+                cores not in results
+                or r["turns_per_sec"] > results[cores]["turns_per_sec"]
+            ):
+                results[cores] = r
     lo, hi = levels
     thr_lo = results[lo]["turns_per_sec"]
     thr_hi = results[hi]["turns_per_sec"]
