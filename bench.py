@@ -47,6 +47,12 @@ def replicate_transcripts(spark, sf_dir: str, factor: int):
     )
 
     t = transcripts_from_events(spark, sf_dir)
+    return replicate_transcripts_df(spark, t, factor)
+
+
+def replicate_transcripts_df(spark, t, factor: int):
+    from pyspark.sql import functions as F
+
     # Repartition BEFORE the explode: the small pre-blowup rows shuffle
     # (cheap), then each task explodes its own slice in parallel.
     # Repartitioning after would (a) serialize the 100x explode into
@@ -272,6 +278,91 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = (2, 8)) -> dict:
     return report
 
 
+def run_scaling_multijvm(
+    sf_dir: str, cores_per_exec: int = 2, n_exec: int = 4
+) -> dict:
+    """N vs 4N EXECUTORS: 1 JVM (local[c]) over the full input vs
+    ``n_exec`` CONCURRENT JVMs (local[c] each) over disjoint conv_id
+    shards — the closest single-host analog of adding executors, since
+    each executor keeps its own heap/GC/Python workers exactly as on a
+    real cluster.  Sharding by conv_id keeps every per-conv result
+    exact per shard (routing is row-local; aggregates key on conv_id).
+    Wall time of the 4-executor level = the slowest executor."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    repl = int(os.environ.get("SPARK_GRAFT_REPL", "300"))
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="lap_dist_"), "lap.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "make_pyfiles.py"), zip_path],
+        check=True, capture_output=True,
+    )
+
+    def submit(cores: int, out_dir: str, shard: str | None):
+        cmd = [
+            "spark-submit", "--master", f"local[{cores}]",
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "12g"),
+            "--conf", f"spark.sql.shuffle.partitions={cores}",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--py-files", zip_path,
+            os.path.join(repo, "scripts", "submit_pipeline.py"),
+            "--events", sf_dir, "--out", out_dir, "--replicate", str(repl),
+        ]
+        if shard:
+            cmd += ["--shard", shard]
+        return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                                text=True, cwd=repo)
+
+    def finish(procs):
+        outs = []
+        for p in procs:
+            stdout, _ = p.communicate()
+            if p.returncode != 0:
+                raise RuntimeError("executor failed")
+            outs.append(json.loads(
+                [l for l in stdout.splitlines() if l.startswith("{")][-1]))
+        return outs
+
+    root = tempfile.mkdtemp(prefix="lap_mjvm_")
+    try:
+        # level A: one executor, full input (startup excluded by using
+        # the in-JVM wall the job reports, which excludes session init)
+        t0 = time.perf_counter()
+        [a] = finish([submit(cores_per_exec, os.path.join(root, "a"), None)])
+        n_total = a["n_turns"]
+        thr_1 = a["turns_per_sec"]
+        # level B: n_exec concurrent executors, one shard each
+        t0 = time.perf_counter()
+        procs = [
+            submit(cores_per_exec, os.path.join(root, f"b{i}"), f"{i}/{n_exec}")
+            for i in range(n_exec)
+        ]
+        outs = finish(procs)
+        wall = max(o["wall_sec"] for o in outs)
+        n_b = sum(o["n_turns"] for o in outs)
+        thr_4 = round(n_b / wall, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    eff = round((thr_4 / thr_1) / n_exec, 3)
+    report = {
+        "mode": "multijvm_executors",
+        "n_turns": n_total,
+        "cores_per_executor": cores_per_exec,
+        f"turns_per_sec_1x": thr_1,
+        f"turns_per_sec_{n_exec}x": thr_4,
+        "speedup": round(thr_4 / thr_1, 3),
+        "executor_ratio": n_exec,
+        "scaling_efficiency": eff,
+    }
+    md = os.path.join(repo, "BENCH", "SCALING.md")
+    os.makedirs(os.path.dirname(md), exist_ok=True)
+    with open(md, "a") as f:
+        f.write(
+            f"\n| executors 1→{n_exec} (local[{cores_per_exec}] each) "
+            f"| {n_total} turns | 1x: {thr_1} turns/s | {n_exec}x: {thr_4} turns/s "
+            f"| speedup {report['speedup']}x | efficiency {eff} |\n"
+        )
+    return report
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -280,8 +371,11 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-multijvm", action="store_true")
     args = ap.parse_args()
-    if args.scaling:
+    if args.scaling_multijvm:
+        print(json.dumps(run_scaling_multijvm(args.sf_dir)))
+    elif args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
     else:
         print(json.dumps(run_bench(args.sf_dir, args.cores, args.pipeline_only)))

@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=1,
                     help="run N times into fresh dirs, report best wall "
                          "(JVM noise is additive; min = honest throughput)")
+    ap.add_argument("--shard", default=None,
+                    help="i/k: process only conv_ids with "
+                         "pmod(xxhash64(conv_id), k) == i — one executor's "
+                         "share when simulating a k-executor cluster")
     args = ap.parse_args()
 
     # Imports must resolve from the --py-files zip on executors.
@@ -52,12 +56,28 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.replicate > 1:
-        from bench import replicate_transcripts  # only when bench.py shipped
+    if args.shard:
+        # Shard UPSTREAM of the derivation/replication, like an
+        # executor reading only its input splits: the transcripts
+        # window partitions by user_id, so a user_id shard is exact.
+        from pyspark.sql import functions as F
 
-        transcripts = replicate_transcripts(spark, args.events, args.replicate)
+        from log_aggregation_pipeline_spark.sources.transcripts import (
+            transcripts_sql,
+        )
+
+        i, k = (int(x) for x in args.shard.split("/"))
+        events = spark.read.parquet(f"{args.events}/events.parquet").filter(
+            F.pmod(F.xxhash64("user_id"), F.lit(k)) == i
+        )
+        events.createOrReplaceTempView("__lap_events_shard")
+        transcripts = spark.sql(transcripts_sql("__lap_events_shard"))
     else:
         transcripts = transcripts_from_events(spark, args.events)
+    if args.replicate > 1:
+        from bench import replicate_transcripts_df  # only when bench.py shipped
+
+        transcripts = replicate_transcripts_df(spark, transcripts, args.replicate)
 
     import shutil
 
