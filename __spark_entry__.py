@@ -411,13 +411,21 @@ def oracle_sql() -> dict[str, str]:
         FROM parsed
         WHERE level = 'ERROR' AND ts BETWEEN '2024-01-05' AND '2024-01-20'
           AND (role = 'user' OR role = 'system')"""
+    # last-wins per key, mirroring kv_fields' map semantics (latent at
+    # sf0.01 — the corpus never repeats a key — but kept in lockstep)
     o["kv_fields_exploded"] = transcripts_cte("events") + r"""
-        SELECT conv_id, turn_idx,
-               regexp_extract(p, '^(\w+)=', 1) AS key,
-               regexp_extract(p, '[^=]*$') AS value
-        FROM (SELECT conv_id, turn_idx,
-                     unnest(regexp_extract_all(text, '(\w+)=(\S+)')) AS p
-              FROM transcripts)"""
+        SELECT conv_id, turn_idx, key, value FROM (
+          SELECT conv_id, turn_idx,
+                 regexp_extract(p, '^(\w+)=', 1) AS key,
+                 regexp_extract(p, '[^=]*$') AS value,
+                 row_number() OVER (
+                   PARTITION BY conv_id, turn_idx, regexp_extract(p, '^(\w+)=', 1)
+                   ORDER BY pi DESC) AS rn
+          FROM (SELECT conv_id, turn_idx,
+                       unnest(regexp_extract_all(text, '(\w+)=(\S+)')) AS p,
+                       generate_subscripts(regexp_extract_all(text, '(\w+)=(\S+)'), 1) AS pi
+                FROM transcripts))
+        WHERE rn = 1"""
     o["sessionize_30m"] = transcripts_cte("events") + """
         SELECT conv_id, turn_idx,
                CAST(sum(new_s) OVER (PARTITION BY conv_id ORDER BY turn_idx
@@ -433,13 +441,15 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY role ORDER BY n DESC, conv_id ASC) AS rank
           FROM (SELECT role, conv_id, count(*) AS n FROM transcripts GROUP BY 1, 2))
         WHERE rank <= 5"""
+    # count(CASE ...) yields BIGINT in DuckDB, matching Spark's
+    # pivot().count() int64 — sum(CASE) returns HUGEINT and hash-diverges
     o["pivot_role_level"] = P + """
         SELECT role,
-          coalesce(sum(CASE WHEN level = 'DEBUG' THEN 1 END), 0) AS "DEBUG",
-          coalesce(sum(CASE WHEN level = 'INFO'  THEN 1 END), 0) AS "INFO",
-          coalesce(sum(CASE WHEN level = 'WARN'  THEN 1 END), 0) AS "WARN",
-          coalesce(sum(CASE WHEN level = 'ERROR' THEN 1 END), 0) AS "ERROR",
-          coalesce(sum(CASE WHEN level = 'FATAL' THEN 1 END), 0) AS "FATAL"
+          count(CASE WHEN level = 'DEBUG' THEN 1 END) AS "DEBUG",
+          count(CASE WHEN level = 'INFO'  THEN 1 END) AS "INFO",
+          count(CASE WHEN level = 'WARN'  THEN 1 END) AS "WARN",
+          count(CASE WHEN level = 'ERROR' THEN 1 END) AS "ERROR",
+          count(CASE WHEN level = 'FATAL' THEN 1 END) AS "FATAL"
         FROM parsed GROUP BY role"""
     o["rollup_role_level"] = P + """
         SELECT role, level, count(*) AS n,

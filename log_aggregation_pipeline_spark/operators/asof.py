@@ -75,7 +75,12 @@ def asof_join(
             for c in right_cols:
                 out[f"{c}{suffix}"] = None
             return out[[f.name for f in out_fields]]
-        rsorted = rpdf.sort_values(on, kind="mergesort")[right_cols].rename(
+        # deterministic tie-break: among right rows sharing the same
+        # ``on`` value, the greatest (right_cols) tuple wins — a bare
+        # sort on ``on`` preserves arbitrary shuffle arrival order and
+        # merge_asof attaches whichever sorted last (nondeterministic)
+        r_sort_keys = [on] + [c for c in right_cols if c != on]
+        rsorted = rpdf.sort_values(r_sort_keys, kind="mergesort")[right_cols].rename(
             columns={c: f"{c}{suffix}" for c in right_cols}
         )
         out = pd.merge_asof(

@@ -348,8 +348,11 @@ def embedding_near_dup_pairs(
     similarity.random_hyperplane_buckets to pre-bucket."""
     from .similarity import cosine_expr
 
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    # cast to array<double> BEFORE scoring: float32 multiplies drift
+    # ~1e-9 from the DuckDB double path and flip 6dp rounding boundaries
+    vec = F.col(vec_col).cast("array<double>")
+    a = df.select(F.col(id_col).alias("a_id"), vec.alias("va"))
+    b = df.select(F.col(id_col).alias("b_id"), vec.alias("vb"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))

@@ -358,15 +358,35 @@ KV_PATTERN = r"(\w+)=(\S+)"
 
 
 def kv_fields(col: Column | str) -> Column:
-    """All ``key=value`` tokens as a map<string,string> — pure JVM:
-    regexp_extract_all for keys and values (same pattern, different
-    group) zipped with map_from_arrays.  Duplicate keys keep the LAST
-    occurrence (map semantics), matching logfmt convention."""
+    """All ``key=value`` tokens as a map<string,string> — pure JVM.
+    Duplicate keys keep the LAST occurrence (logfmt convention),
+    enforced explicitly with an index-aware filter: under Spark's
+    default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` a bare
+    map_from_arrays would throw DUPLICATED_MAP_KEY on 'a=1 b=2 a=3',
+    and relying on a session-level LAST_WIN knob would break under
+    the driver's own session.  O(pairs²) per row — pairs are few."""
     c = F.col(col) if isinstance(col, str) else col
     pairs = F.regexp_extract_all(c, F.lit(KV_PATTERN), F.lit(0))
-    keys = F.transform(pairs, lambda p: F.split(p, "=")[0])
-    vals = F.transform(pairs, lambda p: F.substring_index(p, "=", -1))
-    return F.map_from_arrays(keys, vals)
+    entries = F.transform(
+        pairs,
+        lambda p, i: F.struct(
+            F.split(p, "=")[0].alias("key"),
+            F.substring_index(p, "=", -1).alias("value"),
+            i.alias("_i"),
+        ),
+    )
+    last_wins = F.filter(
+        entries,
+        lambda e: ~F.exists(
+            entries, lambda e2: (e2["key"] == e["key"]) & (e2["_i"] > e["_i"])
+        ),
+    )
+    return F.map_from_entries(
+        F.transform(
+            last_wins,
+            lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
+        )
+    )
 
 
 def parse_kv(df: DataFrame, raw_col: str = "text") -> DataFrame:

@@ -177,19 +177,22 @@ def fingerprint_sql() -> str:
 
 
 def embedding_near_dup_sql(threshold: float) -> str:
+    # ::DOUBLE[] — list_cosine_similarity on FLOAT[] computes in
+    # float32 and flips 6th-decimal boundary values vs Spark's
+    # array<double> fold; cast before scoring to match exactly.
     return f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {threshold}
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}
 """
 
 
 def ann_topk_sql(query_vec_id: int, k: int) -> str:
     return f"""
-WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {query_vec_id})
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = {query_vec_id})
 SELECT vec_id,
-       round(list_cosine_similarity(embedding, (SELECT e FROM q)), 6) AS cosine
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
 FROM embeddings
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {k}
