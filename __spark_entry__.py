@@ -46,6 +46,7 @@ from log_aggregation_pipeline_spark.sources.transcripts import (
 
 # fixed query parameters (shared by Spark + oracle sides)
 JACCARD_K, JACCARD_T = 3, 0.4
+SHINGLE_CAP = 1000  # stop-shingle frequency cap (scale guardrail)
 EMB_NEAR_T = 0.3
 ANN_QUERY_VEC, ANN_K = 0, 10
 SEARCH_Q = SearchQuery(
@@ -279,7 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # training-data ops: dedup / text analysis / similarity
     q["doc_dedup_exact_groups"] = lambda s, d: dedupe.exact_dedup_groups(_docs(s, d))
     q["doc_ngram_jaccard_pairs"] = lambda s, d: dedupe.ngram_jaccard_pairs(
-        _docs(s, d), k=JACCARD_K, threshold=JACCARD_T
+        _docs(s, d), k=JACCARD_K, threshold=JACCARD_T, max_shingle_freq=SHINGLE_CAP
     )
     q["doc_token_counts"] = lambda s, d: text_analysis.with_token_counts(
         _docs(s, d)
@@ -296,7 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda s, d: _docs(s, d).select(
         "doc_id", text_analysis.fingerprint("text").alias("fp")
     )
-    q["emb_near_dup_pairs"] = lambda s, d: dedupe.embedding_near_dup_pairs(
+    # blocked equi-join variant — same exact output, no nested-loop
+    # join in the plan (tests/test_plans.py pins that)
+    q["emb_near_dup_pairs"] = lambda s, d: dedupe.embedding_near_dup_pairs_blocked(
         _emb(s, d), threshold=EMB_NEAR_T
     )
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_topk(
@@ -306,10 +309,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), _query_vec(s, d), k=ANN_K
     )
 
-    # hash-implementation-specific ops: rows-only driver check (no
-    # portable SQL twin exists for Spark's xxhash64 / pandas hashing)
+    # MinHash-LSH + exact verify: output = true-Jaccard pairs found via
+    # banded buckets.  64 hashes x 16 bands pushes the per-pair miss
+    # probability at the corpus's lowest qualifying jaccard (0.8) to
+    # ~2e-4, so the output equals the exact pair set and the exact
+    # DuckDB Jaccard oracle applies (equality also pinned in tests).
     q["doc_minhash_lsh_pairs"] = lambda s, d: dedupe.minhash_lsh_pairs(
-        _docs(s, d), threshold=JACCARD_T
+        _docs(s, d), num_hashes=64, bands=16, threshold=JACCARD_T
     )
     q["doc_simhash_pairs"] = lambda s, d: dedupe.simhash_pairs(_docs(s, d))
     q["ann_lsh_topk"] = lambda s, d: similarity.lsh_topk(
@@ -322,9 +328,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ivf_topk(emb, _query_vec(s, d), cent, k=ANN_K, nprobe=4)
 
     q["ann_ivf_topk"] = _ann_ivf
+    # driver-checkable columns only (media_id/kind/n_bytes/sig have
+    # exact DuckDB twins; byte_entropy is pinned by pytest instead)
     q["media_decode_features"] = lambda s, d: multimodal.decode_media(
         multimodal.fake_media_df(s, d)
-    )
+    ).select("media_id", "kind", "n_bytes", "sig")
     return q
 
 
@@ -465,7 +473,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT conv_id, turn_idx FROM parsed WHERE {oracle.route_where('tool_calls')}"""
 
     o["doc_dedup_exact_groups"] = oracle.exact_dedup_groups_sql()
-    o["doc_ngram_jaccard_pairs"] = oracle.ngram_jaccard_sql(JACCARD_K, JACCARD_T)
+    o["doc_ngram_jaccard_pairs"] = oracle.ngram_jaccard_sql(
+        JACCARD_K, JACCARD_T, max_shingle_freq=SHINGLE_CAP
+    )
     o["doc_token_counts"] = oracle.token_counts_sql(text_analysis.BPEISH_PATTERN)
     o["doc_quality_features"] = oracle.quality_sql(text_analysis.STOPWORDS)
     o["doc_lang_id"] = oracle.lang_id_sql(text_analysis.LANG_MARKERS)
@@ -473,9 +483,21 @@ def oracle_sql() -> dict[str, str]:
     o["emb_near_dup_pairs"] = oracle.embedding_near_dup_sql(EMB_NEAR_T)
     o["ann_cosine_topk"] = oracle.ann_topk_sql(ANN_QUERY_VEC, ANN_K)
     o["ann_cosine_topk_blas"] = oracle.ann_topk_sql(ANN_QUERY_VEC, ANN_K)
-    # doc_minhash_lsh_pairs / doc_simhash_pairs / ann_lsh_topk /
-    # media_decode_features: intentionally no oracle — results depend
-    # on Spark's xxhash64 / pandas hashing / byte-level stubs; the
-    # driver records the rows-only check, and tests/test_dedupe.py
-    # pins recall vs the exact operators instead.
+    # minhash-LSH output = exact-verified pairs; at 64x16 bands the
+    # LSH miss probability is negligible for this corpus's jaccard
+    # floor (0.8), so the exact-Jaccard SQL is a true oracle
+    o["doc_minhash_lsh_pairs"] = oracle.ngram_jaccard_sql(
+        JACCARD_K, JACCARD_T, include_common=False
+    )
+    # sign-LSH buckets depend only on (dim=64, seed) — DuckDB
+    # recomputes them independently from embedded hyperplane literals
+    o["ann_lsh_topk"] = oracle.lsh_topk_sql(
+        similarity._hyperplanes(64, 8, 13), ANN_QUERY_VEC, ANN_K, probe_radius=1
+    )
+    o["media_decode_features"] = oracle.media_features_sql()
+    # doc_simhash_pairs / ann_ivf_topk: intentionally no oracle —
+    # simhash depends on pandas' hash_array (no portable SQL twin) and
+    # IVF centroids come from driver-side k-means over the data (not
+    # expressible as a static SQL string); the driver records the
+    # rows-only check, and tests pin recall vs the exact operators.
     return o

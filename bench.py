@@ -173,7 +173,23 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
             transcripts_from_events(spark, sf_dir))))
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         timed("minhash_lsh_pairs", lambda: noop(minhash_lsh_pairs(docs)))
+        from log_aggregation_pipeline_spark.operators.dedupe import (
+            dropped_shingle_stats,
+            embedding_near_dup_pairs_blocked,
+            ngram_jaccard_pairs,
+        )
+
+        timed("ngram_jaccard_capped", lambda: noop(
+            ngram_jaccard_pairs(docs, max_shingle_freq=1000)))
+        # no-silent-caps: report what the frequency cap dropped
+        n_sh, n_inst = dropped_shingle_stats(docs, max_shingle_freq=1000)
+        print(
+            f"[bench] shingle cap 1000 dropped {n_sh} distinct shingles "
+            f"({n_inst} doc-instances)", file=sys.stderr,
+        )
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        timed("emb_near_dup_blocked", lambda: noop(
+            embedding_near_dup_pairs_blocked(emb, threshold=0.3)))
         qv = [float(x) for x in emb.first()["embedding"]]
         timed("ann_topk_blas", lambda: noop(topk_mapinpandas(emb, qv, 10)))
 

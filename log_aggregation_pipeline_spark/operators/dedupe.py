@@ -102,16 +102,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Pairs (a_id < b_id) with shingle-set Jaccard >= threshold.
 
     Exact: every qualifying pair shares >=1 shingle, so the shingle
-    self-join finds all of them.  ``max_shingle_freq`` drops shingles
-    occurring in more than that many docs before the join — at corpus
-    scale a handful of stop-shingles otherwise dominate the join
-    (f² candidate pairs each); exactness then holds for pairs sharing
-    at least one sub-cap shingle (document the cap when used).
+    self-join finds all of them.  ``max_shingle_freq`` (default 1000 —
+    the scale guardrail, None disables) drops shingles occurring in
+    more than that many docs before the join: at corpus scale a
+    handful of stop-shingles otherwise dominate it (f² candidate pairs
+    each).  With the cap active, n_common counts only sub-cap common
+    shingles (denominators stay uncapped), so exactness holds for
+    pairs whose common shingles are all sub-cap; use
+    ``dropped_shingle_stats`` to log what the cap removed (no silent
+    truncation).
     """
     sh = _shingle_df(df, k, text_col, id_col)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
@@ -140,6 +144,29 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dropped_shingle_stats(
+    df: DataFrame,
+    k: int = 3,
+    max_shingle_freq: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[int, int]:
+    """(n_distinct_shingles_dropped, n_instances_dropped) under the
+    frequency cap — the observability twin of ``max_shingle_freq`` so
+    pipelines can log rather than silently truncate."""
+    ex = _shingle_df(df, k, text_col, id_col).select(
+        "_id", F.explode("_sh").alias("_s")
+    )
+    row = (
+        ex.groupBy("_s")
+        .agg(F.count("*").alias("_f"))
+        .filter(F.col("_f") > max_shingle_freq)
+        .agg(F.count("*").alias("n_shingles"), F.sum("_f").alias("n_instances"))
+        .first()
+    )
+    return int(row["n_shingles"] or 0), int(row["n_instances"] or 0)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -165,19 +192,21 @@ def minhash_signatures(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<bigint>): sig[i] = min over shingles of
-    xxhash64(shingle, seed=i).  One explode + one hash-aggregate; the
-    per-seed mins are map-side combined, so the shuffle carries only
-    num_hashes longs per doc."""
+    xxhash64(shingle, seed=i).  Pure projection — nested higher-order
+    functions (transform over seeds -> array_min over shingles): no
+    explode, no shuffle, and none of the ~12 s cold codegen a 32-way
+    min-aggregate stage costs.  Identical hashes to the explode+agg
+    form: the seed is an int in both (lit(i) vs sequence element)."""
     sh = shingles if shingles is not None else _shingle_df(df, k, text_col, id_col)
-    ex = sh.select("_id", F.explode("_sh").alias("_s"))
-    mins = ex.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    return mins.select(
-        "_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return sh.select(
+        "_id",
+        F.transform(
+            seeds,
+            lambda i: F.array_min(
+                F.transform(F.col("_sh"), lambda s: F.xxhash64(s, i))
+            ),
+        ).alias("sig"),
     )
 
 
@@ -358,4 +387,63 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold as a blocked self-join —
+    same output as ``embedding_near_dup_pairs`` with a scalable plan.
+
+    Vectors hash into ``n_blocks`` blocks; every unordered block pair
+    (i <= j) becomes one equi-join key, with each vector replicated to
+    the ~(n_blocks+1)/2 keys its block participates in.  The join is a
+    plain shuffled equi-join on the key — NO BroadcastNestedLoopJoin /
+    cartesian: neither side is broadcast whole, tasks are bounded at
+    |block_i|x|block_j| score evaluations, and AQE can split stragglers.
+    Work stays inherently O(n²) scores (it is the exact operator — the
+    approximate scale path is minhash/simhash/sign-LSH bucketing);
+    shuffle volume is n*(n_blocks+1) rows.  Scoring uses the same
+    JVM ``cosine_expr`` double fold, so results bit-match the plain
+    variant and the DuckDB oracle.
+    """
+    from .similarity import cosine_expr
+
+    vec = F.col(vec_col).cast("array<double>")
+    bid = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("_id"), vec.alias("_v"), bid.alias("_b")
+    )
+    # block b joins: as LEFT of keys (b, j) for j >= b; as RIGHT of
+    # keys (i, b) for i <= b — each unordered block pair meets exactly
+    # once, so each id pair appears exactly once (twice for same-block,
+    # deduped by the id residual below).
+    left = base.select(
+        "_id",
+        "_v",
+        "_b",
+        F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1))).alias("_kj"),
+    ).withColumnsRenamed({"_id": "l_id", "_v": "l_v", "_b": "_ki"})
+    right = base.select(
+        "_id",
+        "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("_ki"),
+        F.col("_b").alias("_kj"),
+    ).withColumnsRenamed({"_id": "r_id", "_v": "r_v"})
+    joined = left.join(right, ["_ki", "_kj"]).filter(
+        (F.col("_ki") < F.col("_kj")) | (F.col("l_id") < F.col("r_id"))
+    )
+    return (
+        joined.withColumn("cosine", F.round(cosine_expr("l_v", "r_v"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.least("l_id", "r_id").alias("a_id"),
+            F.greatest("l_id", "r_id").alias("b_id"),
+            "cosine",
+        )
     )

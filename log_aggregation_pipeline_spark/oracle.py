@@ -84,8 +84,28 @@ FROM documents GROUP BY 1
 """
 
 
-def ngram_jaccard_sql(k: int = 3, threshold: float = 0.4) -> str:
+def ngram_jaccard_sql(
+    k: int = 3,
+    threshold: float = 0.4,
+    max_shingle_freq: int | None = None,
+    include_common: bool = True,
+) -> str:
+    """Exact shingle-Jaccard pairs.  ``max_shingle_freq`` mirrors the
+    Spark operator's stop-shingle cap (shingles in more than that many
+    docs are excluded from the join AND from n_common, denominators
+    stay uncapped — exactly the Spark semantics).  ``include_common``
+    False drops the n_common column (the minhash-LSH oracle shape)."""
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    cap_cte = ""
+    join_src = "ex"
+    if max_shingle_freq is not None:
+        cap_cte = f""",
+capped AS (
+  SELECT * FROM ex WHERE s IN (
+    SELECT s FROM ex GROUP BY s HAVING count(*) <= {max_shingle_freq})
+)"""
+        join_src = "capped"
+    common_col = "n_common, " if include_common else ""
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents
@@ -95,14 +115,14 @@ sh AS (
          list_distinct([ {gram} for i in range(1, len(t) - {k - 2}) ]) AS shingles
   FROM toks WHERE len(t) >= {k}
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh){cap_cte},
 common AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          count(*) AS n_common, any_value(a.n) AS na, any_value(b.n) AS nb
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM {join_src} a JOIN {join_src} b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT a_id, b_id, n_common,
+SELECT a_id, b_id, {common_col}
        round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
 FROM common
 WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= {threshold}
@@ -185,6 +205,53 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}
+"""
+
+
+def lsh_topk_sql(
+    planes, query_vec_id: int, k: int, probe_radius: int = 1
+) -> str:
+    """Independent DuckDB twin of similarity.lsh_topk: the hyperplanes
+    depend only on (dim, seed) — not on data — so they are embedded as
+    literals and DuckDB recomputes the sign buckets itself.  A row is
+    a candidate iff bit_count(bucket XOR query_bucket) <= probe_radius,
+    which is exactly the Spark side's bucket+bit-flip probe set."""
+    terms = []
+    for i, h in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in h) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT embedding::DOUBLE[] AS e, bucket AS qb FROM b WHERE vec_id = {query_vec_id})
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
+FROM b
+WHERE bit_count(xor(bucket::BIGINT, (SELECT qb FROM q)::BIGINT)) <= {probe_radius}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def media_features_sql() -> str:
+    """Oracle for the byte-level media features: the fake media payload
+    is exactly the UTF-8 bytes of documents.text, so n_bytes/sig are
+    octet_length/md5-prefix in DuckDB (byte_entropy has no portable SQL
+    twin and is pinned by pytest instead)."""
+    return """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CASE WHEN octet_length(encode(text)) = 0 THEN ''
+            ELSE substr(md5(text), 1, 16) END AS sig
+FROM documents
 """
 
 

@@ -84,6 +84,60 @@ def test_embedding_near_dup_matches_bruteforce(sf_emb):
     assert 0 < len(rows) < n * (n - 1) / 2
 
 
+def test_blocked_near_dup_equals_plain(sf_emb):
+    """The blocked equi-join variant (the driver-wired plan) must be
+    bit-identical to the all-pairs scan, including block-boundary
+    pairs, at several block counts."""
+    plain = sorted(
+        (r.a_id, r.b_id, r.cosine)
+        for r in D.embedding_near_dup_pairs(sf_emb, threshold=0.3).collect()
+    )
+    for nb in (1, 3, 8):
+        blocked = sorted(
+            (r.a_id, r.b_id, r.cosine)
+            for r in D.embedding_near_dup_pairs_blocked(
+                sf_emb, threshold=0.3, n_blocks=nb
+            ).collect()
+        )
+        assert blocked == plain, f"n_blocks={nb}"
+
+
+def test_minhash_driver_config_equals_exact(sf_docs):
+    """The driver contract wires 64 hashes x 16 bands and claims the
+    output equals the exact Jaccard pair set — pin that here."""
+    exact = sorted(
+        (r.a_id, r.b_id, r.jaccard)
+        for r in D.ngram_jaccard_pairs(sf_docs, threshold=0.4, max_shingle_freq=None)
+        .select("a_id", "b_id", "jaccard")
+        .collect()
+    )
+    lsh = sorted(
+        (r.a_id, r.b_id, r.jaccard)
+        for r in D.minhash_lsh_pairs(
+            sf_docs, num_hashes=64, bands=16, threshold=0.4
+        ).collect()
+    )
+    assert lsh == exact
+
+
+def test_shingle_cap_semantics_and_stats(spark):
+    """With the frequency cap binding, capped-shingle matches drop out
+    of n_common and the stats helper reports exactly what was cut."""
+    rows = [
+        (0, "x y z a b c"),
+        (1, "x y z d e f"),
+        (2, "x y z g h i"),  # 'x y z' occurs in 3 docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.a_id, r.b_id) for r in
+                D.ngram_jaccard_pairs(df, threshold=0.1, max_shingle_freq=None).collect()}
+    assert uncapped == {(0, 1), (0, 2), (1, 2)}  # share 'x y z'
+    capped = D.ngram_jaccard_pairs(df, threshold=0.1, max_shingle_freq=2).collect()
+    assert capped == []  # the only common shingle is over-cap
+    n_sh, n_inst = D.dropped_shingle_stats(df, max_shingle_freq=2)
+    assert (n_sh, n_inst) == (1, 3)
+
+
 def test_topk_brute_vs_blas(sf_emb):
     q = [float(x) for x in sf_emb.filter("vec_id = 0").first()["embedding"]]
     a = [(r.vec_id, r.cosine) for r in S.brute_topk(sf_emb, q, 10).collect()]

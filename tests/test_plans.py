@@ -82,3 +82,37 @@ def test_topk_is_take_ordered(spark):
 
 def test_no_cartesian_anywhere_in_pipeline(parsed):
     assert "CartesianProduct" not in plan_of(conv_hour_agg(parsed))
+
+
+def test_blocked_near_dup_has_no_nested_loop(spark):
+    """The driver-wired exact near-dup must plan as an equi-join on
+    block-pair keys — a BroadcastNestedLoopJoin (the all-pairs plan)
+    broadcasts a whole side and dies at corpus scale."""
+    from log_aggregation_pipeline_spark.operators.dedupe import (
+        embedding_near_dup_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(embedding_near_dup_pairs_blocked(emb, threshold=0.3))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_capped_jaccard_has_no_nested_loop(spark):
+    from log_aggregation_pipeline_spark.operators.dedupe import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(ngram_jaccard_pairs(docs, max_shingle_freq=1000))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_minhash_signature_is_projection(spark):
+    """The HOF signature path must not shuffle: no exchange between the
+    scan and the signature projection (the old explode+32-agg form cost
+    a shuffle plus ~12 s of cold codegen)."""
+    from log_aggregation_pipeline_spark.operators.dedupe import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(minhash_signatures(docs, 32))
+    assert "Exchange" not in p
+    assert "HashAggregate" not in p
