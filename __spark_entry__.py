@@ -33,7 +33,12 @@ from log_aggregation_pipeline_spark.operators.query import (
     get_by_id,
     search,
 )
-from log_aggregation_pipeline_spark.operators.agg import pivot_counts, rollup_counts
+from log_aggregation_pipeline_spark.operators import features, sampling
+from log_aggregation_pipeline_spark.operators.agg import (
+    cube_counts,
+    pivot_counts,
+    rollup_counts,
+)
 from log_aggregation_pipeline_spark.operators.order import sessionize, top_k_per_group
 from log_aggregation_pipeline_spark.operators.parse import parse_kv
 from log_aggregation_pipeline_spark.operators.route import ROUTES, route_one
@@ -47,6 +52,7 @@ from log_aggregation_pipeline_spark.sources.transcripts import (
 # fixed query parameters (shared by Spark + oracle sides)
 JACCARD_K, JACCARD_T = 3, 0.4
 SHINGLE_CAP = 1000  # stop-shingle frequency cap (scale guardrail)
+SAMPLE_FRAC, SAMPLE_IDS = 0.1, ["conv_id", "turn_idx"]
 EMB_NEAR_T = 0.3
 ANN_QUERY_VEC, ANN_K = 0, 10
 SEARCH_Q = SearchQuery(
@@ -268,6 +274,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _parsed(s, d), "role", "level", PIVOT_LEVELS
     )
     q["rollup_role_level"] = lambda s, d: rollup_counts(_parsed(s, d), ["role", "level"])
+    q["cube_role_tool"] = lambda s, d: cube_counts(
+        transcripts_from_events(s, d), ["role", "tool"]
+    )
+
+    # sampling (seeded, oracle-checkable via md5 rank keys)
+    q["sample_hash_frac"] = lambda s, d: sampling.hash_sample(
+        transcripts_from_events(s, d), SAMPLE_FRAC, SAMPLE_IDS
+    ).select("conv_id", "turn_idx", "role")
+    q["sample_stratified_role"] = lambda s, d: sampling.stratified_sample_exact(
+        transcripts_from_events(s, d), ["role"], SAMPLE_FRAC, SAMPLE_IDS
+    ).select("conv_id", "turn_idx", "role")
+    q["sample_reservoir_200"] = lambda s, d: sampling.reservoir_sample(
+        transcripts_from_events(s, d), 200, SAMPLE_IDS
+    ).select("conv_id", "turn_idx")
+
+    # per-conversation grouped-map features: plain + skew-safe blocked
+    # two-phase form (block_size=8 so the merge path engages at sf0.01)
+    q["conv_features"] = lambda s, d: features.conv_features(
+        transcripts_from_events(s, d)
+    )
+    q["conv_features_salted"] = lambda s, d: features.conv_features_salted(
+        transcripts_from_events(s, d), block_size=8
+    )
     q["set_intersect_errors_users"] = lambda s, d: (
         route_one(_parsed(s, d), "errors").select("conv_id")
         .intersect(route_one(_parsed(s, d), "user_turns").select("conv_id"))
@@ -463,6 +492,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT role, level, count(*) AS n,
                CAST(grouping(role) * 2 + grouping(level) AS INT) AS gid
         FROM parsed GROUP BY ROLLUP(role, level)"""
+    o["cube_role_tool"] = transcripts_cte("events") + """
+        SELECT role, tool, count(*) AS n,
+               CAST(grouping(role) * 2 + grouping(tool) AS INT) AS gid
+        FROM transcripts GROUP BY CUBE(role, tool)"""
+
+    o["sample_hash_frac"] = oracle.hash_sample_sql(
+        SAMPLE_FRAC, SAMPLE_IDS, select="conv_id, turn_idx, role"
+    )
+    o["sample_stratified_role"] = oracle.stratified_sample_sql(
+        ["role"], SAMPLE_FRAC, SAMPLE_IDS, select="conv_id, turn_idx, role"
+    )
+    o["sample_reservoir_200"] = oracle.reservoir_sample_sql(
+        200, SAMPLE_IDS, select="conv_id, turn_idx"
+    )
+    o["conv_features"] = oracle.conv_features_sql()
+    o["conv_features_salted"] = oracle.conv_features_sql()
     o["set_intersect_errors_users"] = P + f"""
         SELECT conv_id FROM parsed WHERE {oracle.route_where('errors')}
         INTERSECT

@@ -139,6 +139,16 @@ def rollup_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def cube_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All-subsets subtotals (GROUP BY CUBE) — rollup's superset:
+    2^len(cols) grouping sets in one pass (Expand + single hash
+    aggregate, no re-scan per set).  ``gid`` disambiguates NULL-as-data
+    from NULL-as-subtotal exactly as in ``rollup_counts``."""
+    return df.cube(*cols).agg(
+        F.count("*").alias("n"), F.grouping_id().alias("gid")
+    )
+
+
 def limited_terms_agg_compat(
     df: DataFrame, field: str, limit: int, ts_col: str = "ts"
 ) -> DataFrame:

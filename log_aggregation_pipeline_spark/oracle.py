@@ -15,7 +15,7 @@ from .functions.ids import ID_SQL
 from .functions.levels import normalize_level_sql
 from .operators.parse import CODE_PATTERN, LEVEL_PATTERN, TOOL_PATTERN
 from .operators.route import ROUTES
-from .sources.transcripts import transcripts_sql
+from .sources.transcripts import transcripts_cte, transcripts_sql
 
 
 def parsed_cte(events_relation: str = "events") -> str:
@@ -64,6 +64,83 @@ def routed_rows_sql(sink: str, events_relation: str = "events") -> str:
 SELECT id, conv_id, turn_idx, role, tool, level, error_code, text, ts
 FROM parsed
 WHERE {route_where(sink)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sampling + per-conversation features over transcripts.
+# ---------------------------------------------------------------------------
+def _sample_key_sql(id_cols: list[str], seed: int) -> str:
+    """md5(id:...:seed) — the same rank key operators.sampling builds;
+    turn ints to VARCHAR the way Spark's concat_ws does."""
+    parts = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
+    return f"md5({parts} || ':{seed}')"
+
+
+def hash_sample_sql(
+    fraction: float, id_cols: list[str], seed: int = 17,
+    events_relation: str = "events", select: str = "*",
+) -> str:
+    threshold = int(fraction * (16**8))
+    key = _sample_key_sql(id_cols, seed)
+    return f"""{transcripts_cte(events_relation)}
+SELECT {select} FROM transcripts
+WHERE ('0x' || substr({key}, 1, 8))::BIGINT < {threshold}
+"""
+
+
+def stratified_sample_sql(
+    strata_cols: list[str], fraction: float, id_cols: list[str],
+    seed: int = 17, events_relation: str = "events", select: str = "*",
+) -> str:
+    key = _sample_key_sql(id_cols, seed)
+    strata = ", ".join(strata_cols)
+    order = ", ".join([key] + id_cols)
+    return f"""{transcripts_cte(events_relation)}
+SELECT {select} FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY {strata} ORDER BY {order}) AS _rk,
+         count(*)     OVER (PARTITION BY {strata}) AS _n
+  FROM transcripts)
+WHERE _rk <= ceil(_n * {fraction})
+"""
+
+
+def reservoir_sample_sql(
+    k: int, id_cols: list[str], seed: int = 17,
+    events_relation: str = "events", select: str = "*",
+) -> str:
+    key = _sample_key_sql(id_cols, seed)
+    order = ", ".join([key] + id_cols)
+    return f"""{transcripts_cte(events_relation)}
+SELECT {select} FROM transcripts ORDER BY {order} LIMIT {k}
+"""
+
+
+def conv_features_sql(events_relation: str = "events") -> str:
+    """GROUP BY twin of operators.features.conv_features: gaps in
+    integer microseconds, each ratio a single integer double-division
+    in the same formula order as the Spark/pandas sides."""
+    err = "count(CASE WHEN contains(lower(text), 'error') THEN 1 END)"
+    return f"""{transcripts_cte(events_relation)},
+g AS (
+  SELECT conv_id, role, text, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM transcripts)
+SELECT conv_id,
+  count(*) AS n_turns,
+  CAST(count(DISTINCT role) AS INT) AS n_roles,
+  {err} AS n_error_turns,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+  CASE WHEN count(*) > 1
+       THEN (CAST(sum(gap_us) AS BIGINT) / (count(*) - 1)) / 1000000.0 END
+    AS mean_gap_s,
+  CASE WHEN count(*) > 1 THEN max(gap_us) / 1000000.0 END AS max_gap_s,
+  {err} / count(*) AS frac_error,
+  min(ts) AS first_ts,
+  max(ts) AS last_ts
+FROM g GROUP BY conv_id
 """
 
 

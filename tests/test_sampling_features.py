@@ -1,0 +1,152 @@
+"""Sampling operators + per-conversation grouped-map features.
+
+The features equality test runs on the skew generator (first convs get
+16x the turns — ≥20% heavy hitters), pinning that the blocked
+two-phase path is exact under skew, block boundaries included."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_aggregation_pipeline_spark.operators import sampling as SA
+from log_aggregation_pipeline_spark.operators.features import (
+    conv_features,
+    conv_features_salted,
+)
+from log_aggregation_pipeline_spark.sources.transcripts import (
+    transcripts_df,
+    transcripts_from_events,
+)
+
+SF = "/root/testdata/sf0.001"
+IDS = ["conv_id", "turn_idx"]
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return transcripts_from_events(spark, SF)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 2 hot convs at 16x => >=20% heavy hitters (FIXTURES.md §1)
+    return transcripts_df(spark, n_convs=30, turns_per_conv=20, skew_convs=2,
+                          skew_factor=16)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+def test_hash_sample_fraction_and_determinism(t):
+    n = t.count()
+    s1 = SA.hash_sample(t, 0.2, IDS)
+    k = s1.count()
+    assert abs(k / n - 0.2) < 0.05  # binomial tolerance
+    assert s1.exceptAll(SA.hash_sample(t, 0.2, IDS)).count() == 0  # same seed
+    # a different seed draws a genuinely different sample
+    s2 = SA.hash_sample(t, 0.2, IDS, seed=99)
+    assert s1.select(*IDS).exceptAll(s2.select(*IDS)).count() > 0
+
+
+def test_hash_sample_is_shuffle_free(t):
+    plan = SA.hash_sample(t, 0.2, IDS)._jdf.queryExecution().executedPlan().toString()
+    # only the window from the transcripts derivation itself may shuffle;
+    # the sample must add no exchange beyond it
+    base = t._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == base.count("Exchange")
+
+
+def test_stratified_exact_counts(t):
+    frac = 0.1
+    per_stratum = {r["role"]: r["n"] for r in
+                   t.groupBy("role").agg(F.count("*").alias("n")).collect()}
+    got = {r["role"]: r["n"] for r in
+           SA.stratified_sample_exact(t, ["role"], frac, IDS)
+           .groupBy("role").agg(F.count("*").alias("n")).collect()}
+    assert got == {k: math.ceil(v * frac) for k, v in per_stratum.items()}
+
+
+def test_reservoir_exact_k_and_uniformish(t):
+    s = SA.reservoir_sample(t, 100, IDS)
+    assert s.count() == 100
+    # deterministic
+    a = sorted((r.conv_id, r.turn_idx) for r in s.collect())
+    b = sorted((r.conv_id, r.turn_idx) for r in SA.reservoir_sample(t, 100, IDS).collect())
+    assert a == b
+    # roughly role-balanced (hash-uniform): no stratum takes >60%
+    shares = [r["n"] for r in s.groupBy("role").agg(F.count("*").alias("n")).collect()]
+    assert max(shares) < 60
+
+
+def test_stratified_reservoir_k_per_stratum(t):
+    s = SA.stratified_reservoir(t, ["role"], 5, IDS)
+    counts = {r["role"]: r["n"] for r in
+              s.groupBy("role").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in counts.values()) and len(counts) == 4
+
+
+def test_reservoir_plans_take_ordered(t):
+    plan = SA.reservoir_sample(t, 100, IDS)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# conv features: plain grouped-map == blocked two-phase, under skew
+# ---------------------------------------------------------------------------
+def _rows(df):
+    out = []
+    for r in df.collect():
+        d = r.asDict()
+        for k in ("mean_gap_s", "max_gap_s", "frac_error"):
+            d[k] = None if d[k] is None else round(d[k], 9)
+        out.append(tuple(sorted(d.items())))
+    return sorted(out)
+
+
+def test_conv_features_plain_equals_salted_under_skew(skewed):
+    plain = _rows(conv_features(skewed))
+    for bs in (7, 64, 100000):  # mid-conv splits, multi-block hot convs, one-block
+        blocked = _rows(conv_features_salted(skewed, block_size=bs))
+        assert blocked == plain, f"block_size={bs}"
+
+
+def test_conv_features_values(spark):
+    import datetime as dt
+
+    rows = [
+        ("c1", 0, "user", "hello ERROR world", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", "ok", dt.datetime(2024, 1, 1, 0, 0, 10)),
+        ("c1", 2, "user", "fine", dt.datetime(2024, 1, 1, 0, 1, 0)),
+        ("c2", 0, "tool", "solo", dt.datetime(2024, 1, 2, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    got = {r.conv_id: r for r in conv_features(df).collect()}
+    c1 = got["c1"]
+    assert (c1.n_turns, c1.n_roles, c1.n_error_turns) == (3, 2, 1)
+    assert c1.mean_gap_s == 30.0 and c1.max_gap_s == 50.0
+    assert abs(c1.frac_error - 1 / 3) < 1e-12
+    c2 = got["c2"]
+    assert c2.n_turns == 1 and c2.mean_gap_s is None and c2.max_gap_s is None
+
+
+def test_blocked_partials_bound_group_size(skewed):
+    """The scale property itself: with block_size=b no grouped-map task
+    sees more than b rows, even for the 16x hot conversations."""
+    from log_aggregation_pipeline_spark.operators.features import _prep
+
+    b = 64
+    blocked = _prep(skewed).withColumn(
+        "_blk", (F.col("turn_idx") / b).cast("int")
+    )
+    mx = (
+        blocked.groupBy("conv_id", "_blk")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert mx <= b
