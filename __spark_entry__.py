@@ -357,6 +357,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ivf_topk(emb, _query_vec(s, d), cent, k=ANN_K, nprobe=4)
 
     q["ann_ivf_topk"] = _ann_ivf
+
+    def _ann_ivf_ingest(s, d):
+        # IVF-at-ingest: assign once, write partitioned by cluster,
+        # probe query scans only nprobe partitions (PartitionFilters)
+        import tempfile
+
+        emb = _emb(s, d)
+        cent = similarity.train_ivf_centroids(emb, n_centroids=8)
+        path = tempfile.mkdtemp(prefix="lap_ivf_") + "/emb_ivf"
+        similarity.ivf_write(emb, cent, path)
+        return similarity.ivf_topk_pruned(
+            s, path, _query_vec(s, d), cent, k=ANN_K, nprobe=4
+        )
+
+    q["ann_ivf_topk_ingest"] = _ann_ivf_ingest
+
+    def _q_bloom_lookup(s, d):
+        # S9 at scale: hour-partitioned sink written with a bloom
+        # filter on the content-derived id, then a point lookup that
+        # skips row groups via the bloom instead of an id index
+        import tempfile
+
+        from log_aggregation_pipeline_spark.sources.table import (
+            HourPartitionedTable,
+        )
+
+        parsed = _parsed(s, d)
+        target = parsed.filter(
+            (F.col("conv_id") == "conv_00007") & (F.col("turn_idx") == 2)
+        ).first()
+        tbl = HourPartitionedTable(s, tempfile.mkdtemp(prefix="lap_bloom_") + "/t")
+        tbl.write(parsed, mode="overwrite", bloom_cols=("id",))
+        return tbl.get(target["id"]).select("id", "conv_id", "turn_idx", "text")
+
+    q["bloom_point_lookup"] = _q_bloom_lookup
     # driver-checkable columns only (media_id/kind/n_bytes/sig have
     # exact DuckDB twins; byte_entropy is pinned by pytest instead)
     q["media_decode_features"] = lambda s, d: multimodal.decode_media(
@@ -412,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
     o["point_lookup_by_id"] = P + """
         SELECT id, conv_id, turn_idx, text FROM parsed
         WHERE conv_id = 'conv_00007' AND turn_idx = 2"""
+    o["bloom_point_lookup"] = o["point_lookup_by_id"]
     o["events_stats_by_type"] = """
         SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_v,
                round(avg(value), 4) AS avg_v, min(value) AS min_v,
@@ -540,9 +576,30 @@ def oracle_sql() -> dict[str, str]:
         similarity._hyperplanes(64, 8, 13), ANN_QUERY_VEC, ANN_K, probe_radius=1
     )
     o["media_decode_features"] = oracle.media_features_sql()
-    # doc_simhash_pairs / ann_ivf_topk: intentionally no oracle —
-    # simhash depends on pandas' hash_array (no portable SQL twin) and
-    # IVF centroids come from driver-side k-means over the data (not
-    # expressible as a static SQL string); the driver records the
-    # rows-only check, and tests pin recall vs the exact operators.
+    # IVF oracle: centroids are deterministic given the data (seeded
+    # k-means over the lowest-id sample), so they are re-derived here
+    # through the shared pandas core — reading the parquet the driver
+    # checks against (sf0.01; override via SPARK_GRAFT_ORACLE_SF) —
+    # and embedded as literals; DuckDB independently recomputes each
+    # row's cluster assignment, the probe cut, and the top-k.
+    o["ann_ivf_topk"] = _ivf_oracle_sql()
+    o["ann_ivf_topk_ingest"] = o["ann_ivf_topk"]
+    # doc_simhash_pairs: intentionally no oracle — simhash rides on
+    # pandas' hash_array, which has no portable SQL twin; the driver
+    # records the rows-only check and tests pin its semantics.
     return o
+
+
+def _ivf_oracle_sql() -> str:
+    import os
+
+    import pandas as pd
+
+    sfd = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    pdf = pd.read_parquet(
+        f"{sfd}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = similarity.train_ivf_centroids_from_pandas(pdf, n_centroids=8)
+    qv = [float(x) for x in pdf.loc[pdf.vec_id == ANN_QUERY_VEC, "embedding"].iloc[0]]
+    probes = similarity.ivf_probes(qv, cent, nprobe=4)
+    return oracle.ivf_topk_sql(cent, probes, ANN_QUERY_VEC, ANN_K)

@@ -134,6 +134,39 @@ def random_hyperplane_buckets(
     return df.withColumn("bucket", bucket_expr(vec_col, _hyperplanes(dim, bits, seed)))
 
 
+def _kmeans_unit(x: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Spherical k-means on unit rows — seeded init, fixed iterations,
+    fully deterministic for a given sample."""
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) or 1.0)
+    return cent
+
+
+def train_ivf_centroids_from_pandas(
+    pdf,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    seed: int = 29,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Centroids from an in-memory frame — the shared core, so the
+    DuckDB oracle (which reads the same parquet with pandas) derives
+    byte-identical centroids to the Spark path."""
+    pdf = pdf.sort_values(id_col).head(sample_size)
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    return _kmeans_unit(x, n_centroids, iters, seed)
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -154,18 +187,9 @@ def train_ivf_centroids(
         .limit(sample_size)
         .toPandas()
     )
-    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
-    for _ in range(iters):
-        assign = (x @ cent.T).argmax(axis=1)
-        for c in range(len(cent)):
-            members = x[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                cent[c] = v / (np.linalg.norm(v) or 1.0)
-    return cent
+    return train_ivf_centroids_from_pandas(
+        pdf, n_centroids, sample_size, iters, seed, vec_col, id_col
+    )
 
 
 def ivf_assign(
@@ -193,6 +217,15 @@ def ivf_assign(
     return df.mapInPandas(assign, schema)
 
 
+def ivf_probes(
+    query_vec: list[float], centroids: np.ndarray, nprobe: int
+) -> list[int]:
+    """The ``nprobe`` clusters nearest the query, best first."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    return [int(p) for p in np.argsort(-(centroids @ qn))[:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -205,12 +238,40 @@ def ivf_topk(
     """IVF search: score only the ``nprobe`` clusters nearest the
     query.  Recall follows nprobe/n_centroids; exact within probed
     clusters (scores match brute_topk)."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    probes = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    probes = ivf_probes(query_vec, centroids, nprobe)
     cand = ivf_assign(df, centroids, vec_col).filter(
-        F.col("cluster").isin(*[int(p) for p in probes])
+        F.col("cluster").isin(*probes)
     )
+    return brute_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_write(
+    df: DataFrame, centroids: np.ndarray, path: str, vec_col: str = "embedding"
+) -> None:
+    """IVF-at-ingest: assign once, write the table PARTITIONED BY
+    cluster.  Queries then prune to the probed partitions at the scan
+    (PartitionFilters — pinned by tests/test_plans.py), so a probe of
+    nprobe/n_centroids clusters reads ~that fraction of the bytes."""
+    ivf_assign(df, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query side of IVF-at-ingest: scan only the probed cluster
+    partitions of a table written by ``ivf_write``.  Same results as
+    ``ivf_topk`` (assignment happened at ingest instead of per query)."""
+    probes = ivf_probes(query_vec, centroids, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("cluster").isin(*probes))
     return brute_topk(cand, query_vec, k, vec_col, id_col)
 
 

@@ -315,6 +315,34 @@ LIMIT {k}
 """
 
 
+def ivf_topk_sql(centroids, probes: list[int], query_vec_id: int, k: int) -> str:
+    """Independent DuckDB twin of similarity.ivf_topk: centroids are
+    deterministic given the data (seeded k-means over the lowest-id
+    sample — recomputed by the CALLER via the shared pandas core and
+    passed in as literals), so DuckDB re-derives each row's cluster as
+    argmax of centroid dot products (list_position of list_max = first
+    max, matching numpy argmax) and scans only the probed clusters."""
+    dots = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in c)
+        + "])"
+        for c in centroids
+    )
+    probe_list = ", ".join(str(p) for p in probes)
+    return f"""
+WITH d AS (SELECT vec_id, embedding, [{dots}] AS dl FROM embeddings),
+a AS (SELECT vec_id, embedding,
+             list_position(dl, list_max(dl)) - 1 AS cluster FROM d),
+q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
+FROM a
+WHERE cluster IN ({probe_list})
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def media_features_sql() -> str:
     """Oracle for the byte-level media features: the fake media payload
     is exactly the UTF-8 bytes of documents.text, so n_bytes/sig are

@@ -47,15 +47,27 @@ class HourPartitionedTable:
         self.fmt = fmt
 
     # -- S7 write ------------------------------------------------------
-    def write(self, df: DataFrame, ts_col: str = "ts", mode: str = "append") -> None:
-        (
+    def write(
+        self,
+        df: DataFrame,
+        ts_col: str = "ts",
+        mode: str = "append",
+        bloom_cols: tuple[str, ...] = (),
+    ) -> None:
+        """``bloom_cols`` adds parquet bloom filters for those columns
+        — the store.go:91-102 id-index analog: a point lookup on a
+        high-cardinality column then skips row groups whose bloom
+        excludes the value, instead of scanning min/max ranges that a
+        hash-shaped id never narrows."""
+        w = (
             df.withColumn("hour_key", F.date_format(ts_col, HOUR_KEY_FMT))
             .repartition(F.col("hour_key"))
             .write.mode(mode)
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("hour_key")
-            .parquet(self.path)
         )
+        for c in bloom_cols:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w.partitionBy("hour_key").parquet(self.path)
 
     # -- S8 pruned scan --------------------------------------------------
     def scan(self, start=None, end=None) -> DataFrame:

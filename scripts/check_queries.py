@@ -47,6 +47,10 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = args.sf  # data-derived oracles
+
     from log_aggregation_pipeline_spark.session import get_spark
 
     import __spark_entry__ as E

@@ -179,6 +179,27 @@ def test_ivf_topk(sf_emb):
     )
 
 
+def test_ivf_at_ingest_equals_per_query_assignment(spark, sf_emb, tmp_path):
+    """ivf_write + ivf_topk_pruned (assignment at ingest, partition-
+    pruned scan) must return exactly what ivf_topk (assignment per
+    query) returns."""
+    q = [float(x) for x in sf_emb.filter("vec_id = 0").first()["embedding"]]
+    cent = S.train_ivf_centroids(sf_emb, n_centroids=8)
+    path = str(tmp_path / "emb_ivf")
+    S.ivf_write(sf_emb, cent, path)
+    a = [(r.vec_id, r.cosine) for r in
+         S.ivf_topk(sf_emb, q, cent, k=10, nprobe=4).collect()]
+    b = [(r.vec_id, r.cosine) for r in
+         S.ivf_topk_pruned(spark, path, q, cent, k=10, nprobe=4).collect()]
+    assert a == b
+    # the layout really is one directory per cluster
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("cluster=")]
+    assert len(dirs) == len({r.cluster for r in
+                             S.ivf_assign(sf_emb, cent).select("cluster").distinct().collect()})
+
+
 def test_bucket_count_bounded(sf_emb):
     b = S.random_hyperplane_buckets(sf_emb, bits=8)
     assert b.select("bucket").distinct().count() <= 256

@@ -106,6 +106,26 @@ def test_capped_jaccard_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
+def test_ivf_at_ingest_prunes_partitions(spark, tmp_path):
+    """ivf_write partitions by cluster; the probe query's scan must
+    show a PartitionFilters entry on cluster (directory-level pruning —
+    nprobe/n_centroids of the bytes read, the IVF scale contract)."""
+    from log_aggregation_pipeline_spark.operators.similarity import (
+        ivf_topk_pruned,
+        ivf_write,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "emb_ivf")
+    ivf_write(emb, cent, path)
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    plan = plan_of(ivf_topk_pruned(spark, path, q, cent, k=10, nprobe=4))
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cluster" in pf
+
+
 def test_minhash_signature_is_projection(spark):
     """The HOF signature path must not shuffle: no exchange between the
     scan and the signature projection (the old explode+32-agg form cost

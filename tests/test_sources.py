@@ -68,3 +68,20 @@ def test_hour_table_roundtrip_prune_expire(spark, transcripts, tmp_path):
     remaining = table.scan().count()
     kept = transcripts.filter(F.date_format("ts", "yyyy-MM-dd-HH") >= "2024-01-02-00")
     assert remaining == kept.count()
+
+
+def test_bloom_filter_point_lookup(spark, transcripts, tmp_path):
+    """S9 at scale: sink written with a bloom filter on the
+    content-derived id; the point lookup pushes the id predicate to
+    the scan (bloom row-group skipping happens inside the reader —
+    pyarrow in this image does not expose the offsets, so the pinned
+    contract is the pushed filter + exact result)."""
+    table = HourPartitionedTable(spark, str(tmp_path / "tb"))
+    with_id = transcripts.withColumn("id", deterministic_id())
+    table.write(with_id, bloom_cols=("id",))
+    some = with_id.first()
+    got = table.get(some.id)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "id" in plan.split("PushedFilters:")[1].split("]")[0]
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["conv_id"] == some.conv_id
