@@ -172,14 +172,21 @@ def dropped_shingle_stats(
 # ---------------------------------------------------------------------------
 def _shingle_df(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
     # two projections: tokens materialize first, shingles reference
-    # them as an attribute (see shingles_from_tokens perf note)
+    # them as an attribute (see shingles_from_tokens perf note).
+    # The non-empty filter is expressed on the TOKEN count, not on
+    # size(_sh): a filter on _sh gets pushed below the projection,
+    # inlining the whole nested-HOF shingle expression into the Filter
+    # operator where it drops out of whole-stage codegen (measured 11x
+    # slower).  size(_toks) >= k is exactly equivalent: the gram array
+    # has n-k+1 >= 1 elements iff n >= k, and array_distinct of a
+    # non-empty array is non-empty.
     return (
         df.select(
             F.col(id_col).alias("_id"),
             F.split(normalize_text(text_col), " ").alias("_toks"),
         )
+        .filter(F.size("_toks") >= k)
         .select("_id", shingles_from_tokens("_toks", k).alias("_sh"))
-        .filter(F.size("_sh") > 0)
     )
 
 
@@ -412,13 +419,19 @@ def embedding_near_dup_pairs_blocked(
     JVM ``cosine_expr`` double fold, so results bit-match the plain
     variant and the DuckDB oracle.
     """
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, norm_expr
 
     vec = F.col(vec_col).cast("array<double>")
     bid = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    # norms once per ROW (n of them), not once per PAIR (n²/2): the
+    # pair-side work drops to one dot product + one multiply/divide.
+    # cosine = dot/(norm_a*norm_b) is the same double expression order
+    # as cosine_expr, so results stay bit-identical to the plain scan.
     base = df.select(
-        F.col(id_col).alias("_id"), vec.alias("_v"), bid.alias("_b")
-    )
+        F.col(id_col).alias("_id"),
+        vec.alias("_v"),
+        bid.alias("_b"),
+    ).withColumn("_n", norm_expr("_v"))
     # block b joins: as LEFT of keys (b, j) for j >= b; as RIGHT of
     # keys (i, b) for i <= b — each unordered block pair meets exactly
     # once, so each id pair appears exactly once (twice for same-block,
@@ -426,20 +439,23 @@ def embedding_near_dup_pairs_blocked(
     left = base.select(
         "_id",
         "_v",
+        "_n",
         "_b",
         F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1))).alias("_kj"),
-    ).withColumnsRenamed({"_id": "l_id", "_v": "l_v", "_b": "_ki"})
+    ).withColumnsRenamed({"_id": "l_id", "_v": "l_v", "_n": "l_n", "_b": "_ki"})
     right = base.select(
         "_id",
         "_v",
+        "_n",
         F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("_ki"),
         F.col("_b").alias("_kj"),
-    ).withColumnsRenamed({"_id": "r_id", "_v": "r_v"})
+    ).withColumnsRenamed({"_id": "r_id", "_v": "r_v", "_n": "r_n"})
     joined = left.join(right, ["_ki", "_kj"]).filter(
         (F.col("_ki") < F.col("_kj")) | (F.col("l_id") < F.col("r_id"))
     )
+    cosine = dot_expr("l_v", "r_v") / (F.col("l_n") * F.col("r_n"))
     return (
-        joined.withColumn("cosine", F.round(cosine_expr("l_v", "r_v"), 6))
+        joined.withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= threshold)
         .select(
             F.least("l_id", "r_id").alias("a_id"),

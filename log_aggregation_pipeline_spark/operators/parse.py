@@ -326,13 +326,45 @@ GROK_PATTERNS: dict[str, str] = {
     "SYSLOGTIMESTAMP": r"[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}",
     "QUOTEDSTRING": r'"[^"]*"',
     "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    # extended library (round 2).  All RE2 ∩ Python-re dialect — no
+    # lookarounds/backrefs, so patterns stay valid in DuckDB oracles.
+    "POSINT": r"[1-9]\d*",
+    "NONNEGINT": r"\d+",
+    "SPACE": r"\s*",
+    "IPV6": r"[0-9a-fA-F:]+:[0-9a-fA-F:.]+",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "MAC": r"(?:[0-9a-fA-F]{2}[:-]){5}[0-9a-fA-F]{2}",
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+",
+    "UNIXPATH": r"(?:/[\w.-]+)+/?",
+    "WINPATH": r"(?:[A-Za-z]:)?(?:\\[\w. -]+)+",
+    "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]*",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_&-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
+    "PROG": r"[\w._/%-]+",
+    "SYSLOGPROG": r"%{PROG}(?:\[%{POSINT}\])?",
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)+[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} '
+        r'\[%{HTTPDATE:timestamp}\] "%{WORD:verb} %{NOTSPACE:request}'
+        r'(?: HTTP/%{NUMBER:httpversion})?" %{NONNEGINT:response} '
+        r'(?:%{NONNEGINT:bytes}|-)'
+    ),
+    "COMBINEDAPACHELOG": (
+        r'%{COMMONAPACHELOG} %{QUOTEDSTRING:referrer} %{QUOTEDSTRING:agent}'
+    ),
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+_MAX_GROK_DEPTH = 16
 
 
 def grok_to_regex(pattern: str, extra: dict[str, str] | None = None) -> str:
-    """Expand ``%{NAME:field}`` references into a named-group regex.
+    """Expand ``%{NAME:field}`` references into a named-group regex,
+    RECURSIVELY (library patterns may reference other patterns, e.g.
+    COMBINEDAPACHELOG -> COMMONAPACHELOG -> IPORHOST -> IP); bounded
+    depth guards against reference cycles in user-supplied ``extra``.
 
     Grok is declared-but-unimplemented in the reference
     (blueprint.md:221-245, README.md:285); grok ≡ named-group regex, so
@@ -343,7 +375,12 @@ def grok_to_regex(pattern: str, extra: dict[str, str] | None = None) -> str:
         base = lib[m.group(1)]
         return f"(?P<{m.group(2)}>{base})" if m.group(2) else f"(?:{base})"
 
-    return _GROK_REF.sub(sub, pattern)
+    for _ in range(_MAX_GROK_DEPTH):
+        expanded = _GROK_REF.sub(sub, pattern)
+        if expanded == pattern:
+            return expanded
+        pattern = expanded
+    raise ValueError("grok pattern reference cycle (or depth > 16)")
 
 
 def parse_grok(df: DataFrame, grok: str, raw_col: str = "text", **kw) -> DataFrame:

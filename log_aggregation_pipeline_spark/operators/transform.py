@@ -142,13 +142,31 @@ def filter_contains(
 # ProcessorConfig.Condition exists but is never evaluated,
 # processor.go:27-29) — apply a transform only to matching rows.
 # ---------------------------------------------------------------------------
+def conditional_project(
+    condition: Column | str, **col_exprs: Column
+) -> Callable[[DataFrame], DataFrame]:
+    """One-pass conditional for COLUMN-PRESERVING transforms: each
+    named column becomes ``when(cond, expr).otherwise(col)`` — a single
+    projection, no filter-split/union double scan.  Use ``conditional``
+    only when the transform changes the schema or row count."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return df.withColumns(
+            {c: F.when(cond, e).otherwise(F.col(c)) for c, e in col_exprs.items()}
+        )
+
+    return apply
+
+
 def conditional(
     condition: Column | str, transform: Callable[[DataFrame], DataFrame]
 ) -> Callable[[DataFrame], DataFrame]:
     """Rows matching ``condition`` go through ``transform``; the rest
     pass untouched.  Implemented as transform-then-union-complement so
     arbitrary transforms (including column-adding ones) compose; both
-    branches come from one filter split, no join."""
+    branches come from one filter split, no join.  For column-
+    preserving transforms prefer ``conditional_project`` (one pass)."""
 
     def apply(df: DataFrame) -> DataFrame:
         cond = F.expr(condition) if isinstance(condition, str) else condition

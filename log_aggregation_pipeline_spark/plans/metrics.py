@@ -41,11 +41,20 @@ METRICS_SCHEMA = T.StructType(
 
 def partition_metrics(df: DataFrame, sink_col: str | None = "sink") -> DataFrame:
     """One metrics row per (partition, sink) — or per partition when
-    ``sink_col`` is None/absent."""
+    ``sink_col`` is None/absent.
+
+    The text column itself never crosses into Python: its length is
+    projected JVM-side first, so the Arrow stream carries one int64
+    per row instead of the payload (measured: the full-text variant
+    was a second whole-corpus pass over the memory bus — the exact
+    pattern the scaling A/B showed caps 4N efficiency)."""
     has_sink = sink_col is not None and sink_col in df.columns
-    cols = ["ts", "text"] + (["parse_ok"] if "parse_ok" in df.columns else [])
+    cols = ["ts"] + (["parse_ok"] if "parse_ok" in df.columns else [])
     if has_sink:
         cols.append(sink_col)
+    from pyspark.sql import functions as F
+
+    df = df.select(*cols, F.length("text").alias("_text_len"))
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.perf_counter()
@@ -61,7 +70,7 @@ def partition_metrics(df: DataFrame, sink_col: str | None = "sink") -> DataFrame
                 a["n"] += len(g)
                 if "parse_ok" in g:
                     a["failed"] += int((~g["parse_ok"].astype(bool)).sum())
-                a["bytes"] += int(g["text"].str.len().fillna(0).sum())
+                a["bytes"] += int(g["_text_len"].fillna(0).sum())
                 lo, hi = g["ts"].min(), g["ts"].max()
                 a["min"] = lo if a["min"] is None else min(a["min"], lo)
                 a["max"] = hi if a["max"] is None else max(a["max"], hi)
@@ -82,4 +91,4 @@ def partition_metrics(df: DataFrame, sink_col: str | None = "sink") -> DataFrame
             }
         )
 
-    return df.select(*cols).mapInPandas(emit, METRICS_SCHEMA)
+    return df.mapInPandas(emit, METRICS_SCHEMA)

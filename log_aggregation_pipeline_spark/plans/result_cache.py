@@ -1,0 +1,141 @@
+"""Materialized query-result cache (reference parity: the query
+service's in-memory result cache, /root/reference/internal/server/
+query/query.go:40-51,265-307 — 5-minute TTL, mutex-guarded map).
+
+The Spark analog is a tiny materialized-view layer: a query's result
+DataFrame is written once as parquet under a key derived from the FULL
+query spec, committed atomically (write to tmp dir + ``os.replace`` of
+a manifest file — the same commit protocol as plans.lineage), and
+served from the parquet scan on every later call with the same
+(key, version).
+
+Two reference bugs are deliberately fixed, not reproduced:
+
+- **Stale-page bug**: the reference's cache key ignores limit/offset
+  (query.go:52-58 builds the key from filters only), so page 2 can be
+  served page 1's rows.  Here the caller passes the full spec and the
+  key is md5 over ALL of it.
+- **Staleness**: the reference serves up-to-TTL-old results regardless
+  of writes.  Here ``version`` ties an entry to the input's state —
+  pass the sink's lineage manifest fingerprint
+  (``table_version(out_dir)``) and any new committed run invalidates
+  the entry deterministically.  No wall-clock in the decision path.
+
+Eviction: ``max_entries`` LRU by commit sequence number (a counter
+persisted in each manifest — not mtime, so eviction order is
+deterministic too).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import lineage as L
+
+
+def query_key(spec: dict | str) -> str:
+    """md5 over the FULL query spec (filters AND limit/offset AND
+    projection — the stale-page fix)."""
+    blob = spec if isinstance(spec, str) else json.dumps(spec, sort_keys=True)
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def table_version(out_dir: str) -> str:
+    """Deterministic fingerprint of a sink table's committed state:
+    md5 over the sorted (sink, hour, run_id) manifest rows.  Any new
+    commit changes it; identical state always hashes identically."""
+    man = L.read_manifest(out_dir)
+    if man.empty:
+        return "empty"
+    rows = sorted(
+        zip(man["sink"], man["hour_key"], man["run_id"], man["n_rows"])
+    )
+    return hashlib.md5(json.dumps(rows, default=str).encode()).hexdigest()
+
+
+class ResultCache:
+    def __init__(self, spark: SparkSession, cache_dir: str, max_entries: int = 64):
+        self.spark = spark
+        self.dir = cache_dir
+        self.max_entries = max_entries
+        os.makedirs(cache_dir, exist_ok=True)
+
+    # -- internal layout: <dir>/<key>/{manifest.json, data/} ------------
+    def _entry(self, key: str) -> str:
+        return os.path.join(self.dir, key)
+
+    def _manifest(self, key: str) -> dict | None:
+        p = os.path.join(self._entry(key), "manifest.json")
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _next_seq(self) -> int:
+        seqs = [
+            m["seq"]
+            for k in os.listdir(self.dir)
+            if (m := self._manifest(k)) is not None
+        ]
+        return max(seqs, default=0) + 1
+
+    def lookup(self, spec: dict | str, version: str) -> DataFrame | None:
+        """Committed result for (spec, version), else None."""
+        key = query_key(spec)
+        m = self._manifest(key)
+        if m is None or m["version"] != version:
+            return None
+        return self.spark.read.parquet(os.path.join(self._entry(key), "data"))
+
+    def get_or_compute(
+        self,
+        spec: dict | str,
+        version: str,
+        compute: Callable[[], DataFrame],
+    ) -> DataFrame:
+        """Serve the materialized result, or compute-materialize-serve.
+
+        A version mismatch (input advanced) recomputes and atomically
+        replaces the entry; a crash mid-write leaves no manifest, so
+        the half-written data is invisible and overwritten next call.
+        """
+        hit = self.lookup(spec, version)
+        if hit is not None:
+            return hit
+        key = query_key(spec)
+        entry = self._entry(key)
+        data = os.path.join(entry, "data")
+        tmp = os.path.join(entry, "_tmp_data")
+        os.makedirs(entry, exist_ok=True)
+        compute().write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(data, ignore_errors=True)
+        os.replace(tmp, data)
+        man_tmp = os.path.join(entry, "_tmp_manifest.json")
+        with open(man_tmp, "w") as f:
+            json.dump({"version": version, "seq": self._next_seq(), "key": key}, f)
+        os.replace(man_tmp, os.path.join(entry, "manifest.json"))
+        self._evict()
+        return self.spark.read.parquet(data)
+
+    def _evict(self) -> list[str]:
+        """Drop oldest-committed entries beyond max_entries (LRU by
+        commit sequence — deterministic, no wall-clock)."""
+        entries = sorted(
+            (
+                (m["seq"], k)
+                for k in os.listdir(self.dir)
+                if (m := self._manifest(k)) is not None
+            ),
+        )
+        dropped = []
+        while len(entries) > self.max_entries:
+            _, k = entries.pop(0)
+            shutil.rmtree(self._entry(k), ignore_errors=True)
+            dropped.append(k)
+        return dropped

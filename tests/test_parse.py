@@ -180,3 +180,23 @@ def test_transcript_parse_total(spark, transcripts):
     bad = parsed.filter(~F.col("parse_ok"))
     assert bad.count() > 0  # generator makes ~10% garbled
     assert bad.filter(F.col("level").isNotNull()).count() == 0
+
+
+def test_grok_recursive_library_and_cycle_guard():
+    import re
+
+    import pytest as _pytest
+
+    rx = grok_to_regex("%{COMBINEDAPACHELOG}")
+    line = (
+        '10.0.0.7 - alice [10/Oct/2000:13:55:36 -0700] '
+        '"POST /api/v1/items HTTP/1.1" 201 512 '
+        '"http://ref.example/" "curl/8.0"'
+    )
+    m = re.match(rx, line)
+    assert m and m.group("clientip") == "10.0.0.7"
+    assert m.group("verb") == "POST" and m.group("response") == "201"
+    # nested refs expand transitively (IPORHOST -> IP/HOSTNAME)
+    assert "%{" not in rx
+    with _pytest.raises(ValueError):
+        grok_to_regex("%{A}", extra={"A": "%{B}", "B": "%{A}"})

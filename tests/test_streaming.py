@@ -93,3 +93,38 @@ def test_windowed_counts_matches_batch(spark, transcripts, tmp_path):
         ).agg(F.count("*").alias("n")).collect()
     }
     assert got == exp
+
+
+def test_rotation_to_archive_dir_is_exactly_once(spark, transcripts, tmp_path):
+    """Live-tail rotation semantics (reference tailer.go:207-390 tracks
+    inodes; Spark's file source tracks PATHS).  The supported rotation
+    pattern is rename-out-of-the-watched-directory: the processed
+    file's content is already checkpointed under its old path, the
+    archive dir is not watched, and new closed files keep arriving —
+    exactly-once holds across the rotation.  (Renaming WITHIN the
+    watched dir would surface a new path and re-ingest — that
+    anti-pattern is why the archive dir is the documented contract.)"""
+    in_dir, out_dir = tmp_path / "in", str(tmp_path / "out")
+    archive = tmp_path / "archive"
+    archive.mkdir()
+    half1 = transcripts.filter(F.col("conv_id") < "conv_00025")
+    half2 = transcripts.filter(F.col("conv_id") >= "conv_00025")
+    half1.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    run_stream_to_completion(spark, str(in_dir), out_dir)
+
+    # rotate: move every processed data file to the archive dir
+    for f in in_dir.glob("*.parquet"):
+        f.rename(archive / f.name)
+    # ...and a new closed file arrives under the live dir
+    half2.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    run_stream_to_completion(spark, str(in_dir), out_dir)
+
+    batch = parsed_view(spark, transcripts)
+    for name, route in ROUTES.items():
+        exp = sorted(
+            (r.conv_id, r.turn_idx)
+            for r in batch.filter(route.spark_pred()).select(*KEY).collect()
+        )
+        assert _routed_keys(spark, out_dir, name) == exp  # no dups, no gaps

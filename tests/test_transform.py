@@ -127,6 +127,27 @@ def test_conditional_processor(spark):
     assert len(out) == 3  # NULL-condition rows pass through untouched
 
 
+def test_conditional_project_one_pass(spark):
+    from pyspark.sql import functions as F
+
+    from log_aggregation_pipeline_spark.operators.transform import (
+        conditional_project,
+    )
+
+    df = spark.createDataFrame(
+        [("ERROR boom",), ("info fine",), (None,)], "message string"
+    )
+    op = conditional_project(
+        "message LIKE 'ERROR%'", message=F.lower("message")
+    )
+    out = df.transform(op)
+    msgs = sorted((r.message or "") for r in out.collect())
+    assert msgs == ["", "error boom", "info fine"]
+    # one pass: a single scan, no Union in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan and plan.count("Scan") == 1
+
+
 def test_dedup_and_sample_filters(spark, transcripts):
     from log_aggregation_pipeline_spark.functions.ids import deterministic_id
     from log_aggregation_pipeline_spark.operators.transform import (
