@@ -1,0 +1,87 @@
+"""Socket ingress: RFC3164 lines over TCP -> envelope -> syslog parse
+-> per-severity sinks, exercising the reference's listener surface
+(syslog.go:91-185) through Structured Streaming's socket source."""
+
+from __future__ import annotations
+
+import glob
+import os
+import socket
+import threading
+import time
+
+LINES = [
+    "<34>Jan  5 10:15:00 web01 sshd[123]: auth failure root",   # sev 2 -> FATAL
+    "<11>Jan  5 10:15:01 web01 app: boom code=E042",            # sev 3 -> ERROR
+    "<13>Jan  5 10:15:02 db01 cron[7]: job ok",                 # sev 5 -> INFO
+    "<15>Jan  5 10:15:03 db01 dbg: verbose detail",             # sev 7 -> DEBUG
+]
+
+
+def _serve_once(port: int, payload: bytes) -> threading.Thread:
+    """Accept one client (the Spark socket receiver) and write the
+    payload, keeping the connection open long enough to be read."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", port))
+    srv.listen(1)
+
+    def run():
+        conn, _ = srv.accept()
+        try:
+            conn.sendall(payload)
+            time.sleep(8)  # keep open until the micro-batch drains
+        finally:
+            conn.close()
+            srv.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_socket_syslog_ingress(spark, tmp_path):
+    from log_aggregation_pipeline_spark.streaming.ingress import (
+        start_syslog_ingress,
+    )
+
+    port = _free_port()
+    _serve_once(port, ("\n".join(LINES) + "\n").encode())
+    out = str(tmp_path / "ingress")
+
+    q = start_syslog_ingress(spark, out, port=port)
+    try:
+        deadline = time.time() + 30
+        done = False
+        while time.time() < deadline and not done:
+            q.processAllAvailable()
+            files = glob.glob(os.path.join(out, "epoch=*", "level=*", "*.parquet"))
+            if files:
+                got = spark.read.option("basePath", out).parquet(
+                    os.path.join(out, "epoch=*")
+                )
+                done = got.count() >= len(LINES)
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = spark.read.option("basePath", out).parquet(
+        os.path.join(out, "epoch=*")
+    ).collect()
+    assert sorted(r.level for r in rows) == ["DEBUG", "ERROR", "FATAL", "INFO"]
+    by_level = {r.level: r for r in rows}
+    assert by_level["FATAL"].syslog_host == "web01"
+    assert by_level["FATAL"].message == "sshd[123]: auth failure root"
+    assert by_level["ERROR"].message == "app: boom code=E042"
+    assert by_level["DEBUG"].severity == 7
+    assert str(by_level["INFO"].parsed_ts) == "2024-01-05 10:15:02"
+    # content-derived ids: stable across replays
+    assert len({r.id for r in rows}) == len(LINES)
