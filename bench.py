@@ -188,8 +188,14 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
             f"({n_inst} doc-instances)", file=sys.stderr,
         )
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        timed("emb_near_dup_blocked", lambda: noop(
-            embedding_near_dup_pairs_blocked(emb, threshold=0.3)))
+        # 1000-vector slice (~500k exact pairs), labeled as such: the
+        # operator is exact O(n²) by definition and the full-corpus
+        # variant is the driver-checked query; benching a fixed slice
+        # keeps the entry comparable across rounds (not a silent cap —
+        # the label carries the size)
+        emb1k = emb.filter("vec_id < 1000")
+        timed("emb_near_dup_blocked_1k", lambda: noop(
+            embedding_near_dup_pairs_blocked(emb1k, threshold=0.3)))
         qv = [float(x) for x in emb.first()["embedding"]]
         timed("ann_topk_blas", lambda: noop(topk_mapinpandas(emb, qv, 10)))
 

