@@ -76,3 +76,55 @@ def test_route_matches_truth_table(rows):
     for name, route in ROUTES.items():
         got = parsed.filter(route.spark_pred()).count()
         assert got == len(expected[name])
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=rows_strategy, frac=st.sampled_from([0.1, 0.33, 0.8]))
+def test_sampling_properties(rows, frac):
+    import math
+
+    from log_aggregation_pipeline_spark.operators import sampling as SA
+
+    # unique row identity per (conv, turn) — duplicates collapse to one
+    uniq = {(r[0], r[1]): r for r in rows}
+    df = _to_df(list(uniq.values()))
+    n = df.count()
+    ids = ["conv_id", "turn_idx"]
+
+    strat = SA.stratified_sample_exact(df, ["conv_id"], frac, ids)
+    got = {r["conv_id"]: r["n"] for r in
+           strat.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    per = {r["conv_id"]: r["n"] for r in
+           df.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    assert got == {k: math.ceil(v * frac) for k, v in per.items()}
+    # sample ⊆ input
+    assert strat.select(*ids).exceptAll(df.select(*ids)).count() == 0
+
+    k = 5
+    res = SA.reservoir_sample(df, k, ids)
+    assert res.count() == min(k, n)
+    # determinism across invocations
+    a = sorted(map(tuple, res.select(*ids).collect()))
+    b = sorted(map(tuple, SA.reservoir_sample(df, k, ids).select(*ids).collect()))
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=rows_strategy)
+def test_conv_features_blocked_equals_plain_property(rows):
+    from log_aggregation_pipeline_spark.operators.features import (
+        conv_features,
+        conv_features_salted,
+    )
+
+    uniq = {(r[0], r[1]): r for r in rows}  # unique turn_idx per conv
+    df = _to_df(list(uniq.values()))
+
+    def norm(out):
+        rows_ = []
+        for r in out.collect():
+            d = r.asDict()
+            rows_.append(tuple(sorted(d.items())))
+        return sorted(rows_)
+
+    assert norm(conv_features_salted(df, block_size=4)) == norm(conv_features(df))
