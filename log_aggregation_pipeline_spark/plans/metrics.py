@@ -39,9 +39,18 @@ METRICS_SCHEMA = T.StructType(
 )
 
 
-def partition_metrics(df: DataFrame, sink_col: str | None = "sink") -> DataFrame:
-    """One metrics row per (partition, sink) — or per partition when
-    ``sink_col`` is None/absent.
+def partition_metrics(
+    df: DataFrame,
+    sink_col: str | None = "sink",
+    extra_group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One metrics row per (partition, sink[, *extra_group_cols]) — or
+    per partition when ``sink_col`` is None/absent.
+
+    ``extra_group_cols`` (e.g. ``("hour_key",)``) lets ONE pass serve
+    both observability granularities: the pipeline derives its
+    per-(sink, hour) lineage stats from these records instead of
+    re-scanning the written files a second time.
 
     The text column itself never crosses into Python: its length is
     projected JVM-side first, so the Arrow stream carries one int64
@@ -52,17 +61,24 @@ def partition_metrics(df: DataFrame, sink_col: str | None = "sink") -> DataFrame
     cols = ["ts"] + (["parse_ok"] if "parse_ok" in df.columns else [])
     if has_sink:
         cols.append(sink_col)
+    cols += list(extra_group_cols)
     from pyspark.sql import functions as F
 
     df = df.select(*cols, F.length("text").alias("_text_len"))
 
+    group_cols = ([sink_col] if has_sink else []) + list(extra_group_cols)
+
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.perf_counter()
         pid = TaskContext.get().partitionId()
-        acc: dict[str, dict] = {}
+        acc: dict[tuple, dict] = {}
         for pdf in batches:
-            groups = pdf.groupby(pdf[sink_col]) if has_sink else [("", pdf)]
+            if group_cols:
+                groups = pdf.groupby(group_cols)
+            else:
+                groups = [((), pdf)]
             for key, g in groups:
+                key = key if isinstance(key, tuple) else (key,)
                 a = acc.setdefault(
                     key,
                     {"n": 0, "failed": 0, "bytes": 0, "min": None, "max": None},
@@ -77,10 +93,15 @@ def partition_metrics(df: DataFrame, sink_col: str | None = "sink") -> DataFrame
         wall = (time.perf_counter() - t0) * 1000
         if not acc:
             return
-        yield pd.DataFrame(
+        keys = list(acc)
+        out = {
+            "partition_id": [pid] * len(acc),
+            "sink": [k[0] if has_sink else "" for k in keys],
+        }
+        for i, c in enumerate(extra_group_cols):
+            out[c] = [k[(1 if has_sink else 0) + i] for k in keys]
+        out.update(
             {
-                "partition_id": [pid] * len(acc),
-                "sink": list(acc),
                 "n_rows": [a["n"] for a in acc.values()],
                 "n_parse_failed": [a["failed"] for a in acc.values()],
                 "n_dropped": [0] * len(acc),  # batch Spark never drops (R2)
@@ -90,5 +111,11 @@ def partition_metrics(df: DataFrame, sink_col: str | None = "sink") -> DataFrame
                 "wall_ms": [wall] * len(acc),
             }
         )
+        yield pd.DataFrame(out)
 
-    return df.mapInPandas(emit, METRICS_SCHEMA)
+    schema = T.StructType(
+        METRICS_SCHEMA.fields[:2]
+        + [T.StructField(c, T.StringType()) for c in extra_group_cols]
+        + METRICS_SCHEMA.fields[2:]
+    )
+    return df.mapInPandas(emit, schema)
