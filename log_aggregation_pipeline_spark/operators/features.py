@@ -50,8 +50,13 @@ _PARTIAL_SCHEMA = T.StructType(
         T.StructField("total_chars", T.LongType()),
         T.StructField("sum_gap_us", T.LongType()),
         T.StructField("max_gap_us", T.LongType()),
-        T.StructField("first_ts", T.TimestampType()),
-        T.StructField("last_ts", T.TimestampType()),
+        # value extremes (what first_ts/last_ts mean in the output) and
+        # turn-order anchors (what boundary-gap reconstruction needs)
+        # are DIFFERENT when ts is not monotone in turn_idx — emit both.
+        T.StructField("min_ts", T.TimestampType()),
+        T.StructField("max_ts", T.TimestampType()),
+        T.StructField("anchor_first_ts", T.TimestampType()),
+        T.StructField("anchor_last_ts", T.TimestampType()),
     ]
 )
 
@@ -127,9 +132,13 @@ def conv_features_salted(df: DataFrame, block_size: int = 4096) -> DataFrame:
                     "total_chars": int(pdf["text"].str.len().sum()),
                     "sum_gap_us": int(gaps.sum()) if len(gaps) else 0,
                     "max_gap_us": int(gaps.max()) if len(gaps) else None,
-                    # first/last BY TURN ORDER (boundary-gap anchors)
-                    "first_ts": pdf["ts"].iloc[0],
-                    "last_ts": pdf["ts"].iloc[-1],
+                    # value extremes (merge to first_ts/last_ts outputs)
+                    "min_ts": pdf["ts"].min(),
+                    "max_ts": pdf["ts"].max(),
+                    # first/last BY TURN ORDER (boundary-gap anchors —
+                    # NOT the same as min/max when ts is non-monotonic)
+                    "anchor_first_ts": pdf["ts"].iloc[0],
+                    "anchor_last_ts": pdf["ts"].iloc[-1],
                 }
             ]
         )
@@ -143,7 +152,8 @@ def conv_features_salted(df: DataFrame, block_size: int = 4096) -> DataFrame:
     w = Window.partitionBy("conv_id").orderBy("_blk")
     with_boundary = partials.withColumn(
         "_bgap_us",
-        F.unix_micros("first_ts") - F.lag(F.unix_micros("last_ts")).over(w),
+        F.unix_micros("anchor_first_ts")
+        - F.lag(F.unix_micros("anchor_last_ts")).over(w),
     )
     merged = with_boundary.groupBy("conv_id").agg(
         F.sum("n_turns").alias("n_turns"),
@@ -156,8 +166,8 @@ def conv_features_salted(df: DataFrame, block_size: int = 4096) -> DataFrame:
             "_sum_gap_us"
         ),
         F.greatest(F.max("max_gap_us"), F.max("_bgap_us")).alias("_max_gap_us"),
-        F.min("first_ts").alias("first_ts"),
-        F.max("last_ts").alias("last_ts"),
+        F.min("min_ts").alias("first_ts"),
+        F.max("max_ts").alias("last_ts"),
     )
     gt1 = F.col("n_turns") > 1
     return merged.select(

@@ -113,6 +113,37 @@ def test_conv_features_plain_equals_salted_under_skew(skewed):
         assert blocked == plain, f"block_size={bs}"
 
 
+def test_conv_features_salted_non_monotonic_ts(spark):
+    """ts NOT monotone in turn_idx: first_ts/last_ts are value min/max
+    (not turn-order endpoints), gaps stay turn-order deltas — and the
+    blocked form still matches the plain one exactly, including when a
+    block's turn-order endpoint differs from its ts extreme."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for c in range(4):
+        for i in range(11):
+            # ts is a PERMUTATION of turn order: min lands at turn 7,
+            # max at turn 4 — neither at the turn-order endpoints
+            rows.append(
+                (f"c{c}", i, "user" if i % 2 else "tool",
+                 "x" * (i + 1),
+                 base + dt.timedelta(minutes=10 * ((i * 37 + 5) % 11)))
+            )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    plain = _rows(conv_features(df))
+    for bs in (3, 4, 100):
+        assert _rows(conv_features_salted(df, block_size=bs)) == plain, bs
+    # and the outputs really are value extremes, not turn-order endpoints
+    r = {x.conv_id: x for x in conv_features(df).collect()}["c0"]
+    tss = [t for (c, _, _, _, t) in rows if c == "c0"]
+    assert r.first_ts == min(tss) and r.last_ts == max(tss)
+    assert min(tss) != tss[0] or max(tss) != tss[-1]  # case is non-trivial
+
+
 def test_conv_features_values(spark):
     import datetime as dt
 
