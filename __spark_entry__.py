@@ -576,17 +576,30 @@ def oracle_sql() -> dict[str, str]:
         similarity._hyperplanes(64, 8, 13), ANN_QUERY_VEC, ANN_K, probe_radius=1
     )
     o["media_decode_features"] = oracle.media_features_sql()
-    # IVF oracle: centroids are deterministic given the data (seeded
-    # k-means over the lowest-id sample), so they are re-derived here
-    # through the shared pandas core — reading the parquet the driver
-    # checks against (sf0.01; override via SPARK_GRAFT_ORACLE_SF) —
-    # and embedded as literals; DuckDB independently recomputes each
-    # row's cluster assignment, the probe cut, and the top-k.
-    o["ann_ivf_topk"] = _ivf_oracle_sql()
-    o["ann_ivf_topk_ingest"] = o["ann_ivf_topk"]
-    # doc_simhash_pairs: intentionally no oracle — simhash rides on
-    # pandas' hash_array, which has no portable SQL twin; the driver
-    # records the rows-only check and tests pin its semantics.
+    # Data-derived oracles: IVF centroids and simhash signatures are
+    # deterministic given the data but not SQL-portable, so they are
+    # re-derived through the SHARED pandas cores — reading the parquet
+    # the driver checks against (sf0.01; override via
+    # SPARK_GRAFT_ORACLE_SF) — and embedded as literals; DuckDB then
+    # independently recomputes cluster assignment / chunk split, the
+    # probe/candidate cut, and the final filter/top-k.  Independence
+    # is deliberately weakened to that join/filter/top-k logic (the
+    # part that can rot); the literal derivation itself is shared.
+    # Guarded lazily: a bad or absent data dir fails ONLY these
+    # entries (driver records rows-only for them), never the whole map.
+    for name, build in (
+        ("ann_ivf_topk", _ivf_oracle_sql),
+        ("doc_simhash_pairs", _simhash_oracle_sql),
+    ):
+        try:
+            o[name] = build()
+        except Exception as exc:  # noqa: BLE001 — degrade to rows-only
+            import sys
+
+            print(f"[oracle] data-derived oracle {name} skipped: {exc}",
+                  file=sys.stderr)
+    if "ann_ivf_topk" in o:
+        o["ann_ivf_topk_ingest"] = o["ann_ivf_topk"]
     return o
 
 
@@ -603,3 +616,14 @@ def _ivf_oracle_sql() -> str:
     qv = [float(x) for x in pdf.loc[pdf.vec_id == ANN_QUERY_VEC, "embedding"].iloc[0]]
     probes = similarity.ivf_probes(qv, cent, nprobe=4)
     return oracle.ivf_topk_sql(cent, probes, ANN_QUERY_VEC, ANN_K)
+
+
+def _simhash_oracle_sql() -> str:
+    import os
+
+    import pandas as pd
+
+    sfd = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    pdf = pd.read_parquet(f"{sfd}/documents.parquet", columns=["doc_id", "text"])
+    sigs = dedupe.simhash_from_texts(pdf["text"])
+    return oracle.simhash_pairs_sql(zip(pdf["doc_id"].tolist(), sigs.tolist()))

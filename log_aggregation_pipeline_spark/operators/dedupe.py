@@ -293,18 +293,23 @@ _SIMHASH_OUT = T.StructType(
 )
 
 
-@F.pandas_udf(T.LongType())
-def _simhash_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash, numpy-vectorized across the whole Arrow batch:
-    tokens of all rows are flattened, hashed in one C pass
-    (pd.util.hash_array — deterministic for a fixed pandas major), and
-    bit-votes are accumulated with bincount — no per-row Python."""
+def simhash_from_texts(texts: pd.Series) -> np.ndarray:
+    """64-bit SimHash, numpy-vectorized across the whole batch: tokens
+    of all rows are flattened, hashed in one C pass (pd.util.hash_array
+    — deterministic for a fixed pandas major), and bit-votes are
+    accumulated with bincount — no per-row Python.
+
+    This is the SHARED CORE: the Spark pandas UDF and the DuckDB
+    oracle (signature literals in ``oracle.simhash_pairs_sql``) both
+    call it, so the non-SQL-portable hash is computed once and the
+    chunk-join/XOR/bit_count logic is verified independently.
+    Returns the signatures as an int64 view (Spark LongType layout)."""
     norm = texts.fillna("").str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
     tok_lists = norm.str.split(" ")
     lens = tok_lists.str.len().fillna(0).astype(np.int64).to_numpy()
     flat = np.concatenate([t if isinstance(t, list) else [] for t in tok_lists]) if lens.sum() else np.array([], dtype=object)
     if len(flat) == 0:
-        return pd.Series(np.zeros(len(texts), dtype=np.int64))
+        return np.zeros(len(texts), dtype=np.int64)
     hashes = pd.util.hash_array(flat.astype("U"))  # uint64, vectorized
     doc_idx = np.repeat(np.arange(len(texts)), lens)
     # bit votes: for each of 64 bits, sum(+1/-1) per doc
@@ -313,7 +318,12 @@ def _simhash_udf(texts: pd.Series) -> pd.Series:
         votes = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
         per_doc = np.bincount(doc_idx, weights=votes, minlength=len(texts))
         sims |= (per_doc > 0).astype(np.uint64) << np.uint64(bit)
-    return pd.Series(sims.view(np.int64))
+    return sims.view(np.int64)
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series(simhash_from_texts(texts))
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -322,15 +332,33 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_pairs(
     df: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     chunks: int = 4,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
-    """Candidate pairs sharing one of ``chunks`` 16-bit signature
-    chunks (pigeonhole: any pair within hamming 15/chunks*... — with 4
-    chunks every pair at distance <= 3 is guaranteed; larger distances
-    are best-effort), filtered to bit_count(xor) <= max_hamming."""
+    """Candidate pairs sharing one of ``chunks`` signature chunks,
+    filtered to bit_count(xor) <= max_hamming.
+
+    Pigeonhole guarantee: ``max_hamming`` bit flips can touch at most
+    ``max_hamming`` chunks, so every pair at distance <= chunks-1 shares
+    an identical chunk and IS found.  The defaults (4 chunks of 16
+    bits, max_hamming=3) keep the filter inside the guarantee, so
+    recall is exactly 1.0.  Asking for max_hamming > chunks-1 would
+    silently under-recall in the [chunks, max_hamming] band (and
+    shrinking chunk width to widen the guarantee explodes the candidate
+    join — a 4-bit chunk has 16 values, ~n²/16 collisions per chunk);
+    per the repo's no-silent-caps rule that combination raises unless
+    ``allow_partial_recall=True`` explicitly opts into best-effort
+    recall beyond the guaranteed radius (measured in tests)."""
+    if max_hamming > chunks - 1 and not allow_partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"chunks-1={chunks - 1}: pairs at distance in "
+            f"[{chunks}, {max_hamming}] are found only best-effort. Pass "
+            "allow_partial_recall=True to accept that, or raise chunks."
+        )
     sh = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
     width = 64 // chunks
     chunked = sh.select(

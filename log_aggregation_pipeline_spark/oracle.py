@@ -285,6 +285,33 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def simhash_pairs_sql(sigs, chunks: int = 4, max_hamming: int = 3) -> str:
+    """Independent DuckDB twin of dedupe.simhash_pairs: the signatures
+    ride on pandas' hash_array (no portable SQL twin), so the CALLER
+    computes (doc_id, simhash) through the shared core
+    ``dedupe.simhash_from_texts`` and passes them in as literals —
+    DuckDB then independently does the chunk split (``>>`` is an
+    arithmetic shift on BIGINT in both engines; the mask makes the two
+    forms agree on every chunk incl. the sign-extended top one), the
+    candidate self-join, XOR + bit_count, and the threshold filter —
+    the join/filter logic is what this oracle actually checks."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    values = ", ".join(f"({int(i)}, {int(s)})" for i, s in sigs)
+    return f"""
+WITH sigs(doc_id, simhash) AS (VALUES {values}),
+chunked AS (
+  SELECT doc_id, simhash, ci, (simhash >> (ci * {width})) & {mask} AS cv
+  FROM sigs CROSS JOIN range({chunks}) r(ci)
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunked a JOIN chunked b
+  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def lsh_topk_sql(
     planes, query_vec_id: int, k: int, probe_radius: int = 1
 ) -> str:

@@ -76,6 +76,68 @@ def test_simhash_properties(spark, sf_docs):
     assert a == b and len(a) > 0
 
 
+def _exact_hamming_pairs(sf_docs, max_hamming):
+    """Ground truth: all-pairs bit_count(xor) join, no chunk pruning."""
+    sh = D.simhash(sf_docs).select(F.col("doc_id").alias("_id"), "simhash")
+    a, b = sh.alias("a"), sh.alias("b")
+    return {
+        (r.a_id, r.b_id, r.hamming)
+        for r in a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("b._id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .collect()
+    }
+
+
+def test_simhash_recall_exact_within_guarantee(sf_docs):
+    """Inside the pigeonhole radius (chunks-1 = 3) the chunked join is
+    EXACT: recall 1.0 vs the all-pairs bit_count ground truth."""
+    exact = _exact_hamming_pairs(sf_docs, 3)
+    got = {(r.a_id, r.b_id, r.hamming)
+           for r in D.simhash_pairs(sf_docs, max_hamming=3).collect()}
+    assert got == exact and len(exact) > 0
+
+
+def test_simhash_partial_recall_beyond_guarantee(sf_docs):
+    """Beyond the radius the default RAISES (no silent under-recall);
+    opting in measures honest best-effort recall on this corpus."""
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs(sf_docs, max_hamming=8)
+    exact = _exact_hamming_pairs(sf_docs, 8)
+    got = {(r.a_id, r.b_id, r.hamming)
+           for r in D.simhash_pairs(
+               sf_docs, max_hamming=8, allow_partial_recall=True).collect()}
+    assert got <= exact  # precision stays 1.0 (verified filter)
+    assert got >= {t for t in exact if t[2] <= 3}  # guarantee still holds
+    recall = len(got) / len(exact)
+    # measured on sf0.001: 0.44 — best-effort recall beyond the radius
+    # genuinely loses most of the hamming-4..8 band on this corpus,
+    # which is exactly why the default RAISES instead of silently
+    # under-recalling.  Pin the measured band (hash is deterministic
+    # for a fixed pandas major; loose edges absorb a major bump).
+    assert 0.3 <= recall <= 0.7, recall
+
+
+def test_minhash_oracle_precondition_jaccard_floor(spark):
+    """The driver oracle for doc_minhash_lsh_pairs is exact-set
+    equality, which is sound only because the checked corpus's
+    qualifying pairs sit at jaccard >= 0.8, where the 64x16-band LSH
+    per-pair miss probability is ~2e-4.  At the 0.4 threshold itself
+    the miss probability would be ~66% and the gate would flip — so
+    assert the data precondition on the corpus the driver checks."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = D.ngram_jaccard_pairs(
+        docs, threshold=0.4, max_shingle_freq=None
+    ).collect()
+    assert rows and min(r.jaccard for r in rows) >= 0.8
+
+
 def test_embedding_near_dup_matches_bruteforce(sf_emb):
     pairs = D.embedding_near_dup_pairs(sf_emb, threshold=0.3)
     rows = pairs.collect()
