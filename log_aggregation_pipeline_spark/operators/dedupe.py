@@ -425,12 +425,28 @@ def embedding_near_dup_pairs(
     )
 
 
+def adaptive_n_blocks(
+    n: int, target_scores_per_task: int = 20_000_000, min_blocks: int = 8
+) -> int:
+    """Block count policy for the blocked exact scan: each of the
+    ~n_blocks²/2 block-pair tasks scores (n/n_blocks)² pairs, so
+    n_blocks = ceil(n / sqrt(target)) keeps per-task work at
+    ~``target_scores_per_task`` dot products (a ~1 s task at 64 dims)
+    no matter how large n grows — a static block count would cap
+    parallelism and let task size blow up O(n²).  ``min_blocks`` keeps
+    small inputs parallel across local cores."""
+    import math
+
+    return max(min_blocks, math.ceil(n / math.sqrt(target_scores_per_task)))
+
+
 def embedding_near_dup_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    target_scores_per_task: int = 20_000_000,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold as a blocked self-join —
     same output as ``embedding_near_dup_pairs`` with a scalable plan.
@@ -446,9 +462,17 @@ def embedding_near_dup_pairs_blocked(
     shuffle volume is n*(n_blocks+1) rows.  Scoring uses the same
     JVM ``cosine_expr`` double fold, so results bit-match the plain
     variant and the DuckDB oracle.
+
+    ``n_blocks=None`` (default) sizes itself from a cheap count via
+    ``adaptive_n_blocks`` so per-task score work stays bounded at any
+    n; the output is bit-identical for EVERY block count (blocking
+    only partitions the pair space — pinned by tests), so the policy
+    is pure task sizing.
     """
     from .similarity import dot_expr, norm_expr
 
+    if n_blocks is None:
+        n_blocks = adaptive_n_blocks(df.count(), target_scores_per_task)
     vec = F.col(vec_col).cast("array<double>")
     bid = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     # norms once per ROW (n of them), not once per PAIR (n²/2): the

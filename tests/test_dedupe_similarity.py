@@ -154,7 +154,7 @@ def test_blocked_near_dup_equals_plain(sf_emb):
         (r.a_id, r.b_id, r.cosine)
         for r in D.embedding_near_dup_pairs(sf_emb, threshold=0.3).collect()
     )
-    for nb in (1, 3, 8):
+    for nb in (1, 3, 8, None):  # None = the adaptive driver default
         blocked = sorted(
             (r.a_id, r.b_id, r.cosine)
             for r in D.embedding_near_dup_pairs_blocked(
@@ -162,6 +162,20 @@ def test_blocked_near_dup_equals_plain(sf_emb):
             ).collect()
         )
         assert blocked == plain, f"n_blocks={nb}"
+
+
+def test_adaptive_n_blocks_policy():
+    """Task-sizing policy: block counts grow with n so per-task score
+    work stays bounded at target_scores_per_task (the round-2 static
+    n_blocks=8 capped parallelism at 36 tasks of O((n/8)²) work)."""
+    target = 20_000_000
+    ns = [10**3, 10**4, 10**5, 10**6, 10**7, 10**8]
+    nbs = [D.adaptive_n_blocks(n, target) for n in ns]
+    assert nbs == sorted(nbs) and nbs[-1] > nbs[0]  # grows with n
+    for n, nb in zip(ns, nbs):
+        if nb > 8:  # above the small-n parallelism floor
+            assert (n / nb) ** 2 <= target * 1.05, (n, nb)
+    assert D.adaptive_n_blocks(10**8, target) >= 20_000  # ~n/sqrt(target)
 
 
 def test_minhash_driver_config_equals_exact(sf_docs):
