@@ -23,7 +23,11 @@ Two reference bugs are deliberately fixed, not reproduced:
 
 Eviction: ``max_entries`` LRU by commit sequence number (a counter
 persisted in each manifest — not mtime, so eviction order is
-deterministic too).
+deterministic too).  On top of version invalidation, entries can be
+bounded by AGE — ``ttl_commits`` (per entry, or a cache-wide default)
+expires an entry once more than that many commits have happened since
+it was written (commit distance, not wall-clock — deterministic) —
+and dropped explicitly via ``invalidate(spec)``.
 """
 
 from __future__ import annotations
@@ -60,10 +64,19 @@ def table_version(out_dir: str) -> str:
 
 
 class ResultCache:
-    def __init__(self, spark: SparkSession, cache_dir: str, max_entries: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cache_dir: str,
+        max_entries: int = 64,
+        ttl_commits: int | None = None,
+    ):
         self.spark = spark
         self.dir = cache_dir
         self.max_entries = max_entries
+        # default age bound (commit distance) for entries that don't
+        # set their own; None = entries never age out
+        self.ttl_commits = ttl_commits
         os.makedirs(cache_dir, exist_ok=True)
 
     # -- internal layout: <dir>/<key>/{manifest.json, data/} ------------
@@ -86,24 +99,54 @@ class ResultCache:
         return max(seqs, default=0) + 1
 
     def lookup(self, spec: dict | str, version: str) -> DataFrame | None:
-        """Committed result for (spec, version), else None."""
+        """Committed result for (spec, version), else None.  Misses on
+        version mismatch, on an aged-out entry (commit distance beyond
+        its ttl), and — belt and braces — on a torn entry whose data
+        dir is missing (the write ordering makes that state unreachable
+        via this code, but an external deletion must read as a miss,
+        not a broken DataFrame)."""
         key = query_key(spec)
         m = self._manifest(key)
         if m is None or m["version"] != version:
             return None
-        return self.spark.read.parquet(os.path.join(self._entry(key), "data"))
+        ttl = m.get("ttl", self.ttl_commits)
+        if ttl is not None and (self._next_seq() - 1) - m["seq"] > ttl:
+            return None
+        data = os.path.join(self._entry(key), "data")
+        if not os.path.isdir(data):
+            return None
+        return self.spark.read.parquet(data)
+
+    def invalidate(self, spec: dict | str) -> bool:
+        """Explicitly drop the entry for ``spec`` (any version).
+        Manifest goes first so a crash mid-invalidate still reads as a
+        miss.  Returns whether an entry existed."""
+        entry = self._entry(query_key(spec))
+        man = os.path.join(entry, "manifest.json")
+        existed = os.path.isfile(man)
+        if existed:
+            os.remove(man)
+        shutil.rmtree(entry, ignore_errors=True)
+        return existed
 
     def get_or_compute(
         self,
         spec: dict | str,
         version: str,
         compute: Callable[[], DataFrame],
+        ttl_commits: int | None = None,
     ) -> DataFrame:
         """Serve the materialized result, or compute-materialize-serve.
 
         A version mismatch (input advanced) recomputes and atomically
-        replaces the entry; a crash mid-write leaves no manifest, so
-        the half-written data is invisible and overwritten next call.
+        replaces the entry; a crash mid-write leaves the entry either
+        fully old or invisible, never torn: the OLD manifest is removed
+        BEFORE the old data dir is touched, so no interleaving leaves a
+        manifest pointing at missing/half-replaced data.
+
+        ``ttl_commits`` (else the cache default) is stored in the
+        manifest: once more than that many commits have happened since,
+        lookups miss and the next call recomputes.
         """
         hit = self.lookup(spec, version)
         if hit is not None:
@@ -111,15 +154,27 @@ class ResultCache:
         key = query_key(spec)
         entry = self._entry(key)
         data = os.path.join(entry, "data")
+        man = os.path.join(entry, "manifest.json")
         tmp = os.path.join(entry, "_tmp_data")
         os.makedirs(entry, exist_ok=True)
         compute().write.mode("overwrite").parquet(tmp)
+        # commit order matters: invalidate (remove manifest) -> swap
+        # data -> publish new manifest.  A crash at any point leaves
+        # either the intact old entry or a manifest-less (= invisible,
+        # recomputed next call) one — never a manifest over missing data.
+        if os.path.isfile(man):
+            os.remove(man)
         shutil.rmtree(data, ignore_errors=True)
         os.replace(tmp, data)
         man_tmp = os.path.join(entry, "_tmp_manifest.json")
+        ttl = self.ttl_commits if ttl_commits is None else ttl_commits
         with open(man_tmp, "w") as f:
-            json.dump({"version": version, "seq": self._next_seq(), "key": key}, f)
-        os.replace(man_tmp, os.path.join(entry, "manifest.json"))
+            json.dump(
+                {"version": version, "seq": self._next_seq(), "key": key,
+                 "ttl": ttl},
+                f,
+            )
+        os.replace(man_tmp, man)
         self._evict()
         return self.spark.read.parquet(data)
 

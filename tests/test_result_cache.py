@@ -83,6 +83,79 @@ def test_crash_leaves_no_visible_entry(spark, tmp_path):
     assert cache.lookup(spec, "v1") is None  # no manifest => invisible
 
 
+def test_invalidate_forces_recompute(spark, tmp_path):
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+    spec = {"q": "inv"}
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return _df(spark, 3)
+
+    cache.get_or_compute(spec, "v1", compute)
+    assert cache.invalidate(spec) is True
+    assert cache.lookup(spec, "v1") is None
+    cache.get_or_compute(spec, "v1", compute)
+    assert len(calls) == 2
+    assert cache.invalidate({"q": "never-written"}) is False
+
+
+def test_ttl_commits_ages_entries_out(spark, tmp_path):
+    """Per-entry age bound in COMMIT DISTANCE (no wall-clock): the
+    entry survives ttl_commits later commits, misses after."""
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+    spec = {"q": "old"}
+    cache.get_or_compute(spec, "v1", lambda: _df(spark, 2), ttl_commits=2)
+    cache.get_or_compute({"q": "a"}, "v", lambda: _df(spark, 1))
+    cache.get_or_compute({"q": "b"}, "v", lambda: _df(spark, 1))
+    assert cache.lookup(spec, "v1") is not None  # distance 2 == ttl
+    cache.get_or_compute({"q": "c"}, "v", lambda: _df(spark, 1))
+    assert cache.lookup(spec, "v1") is None  # distance 3 > ttl
+    # recompute re-commits with a fresh seq
+    n = cache.get_or_compute(spec, "v1", lambda: _df(spark, 9), ttl_commits=2).count()
+    assert n == 9 and cache.lookup(spec, "v1") is not None
+
+
+def test_externally_torn_entry_reads_as_miss(spark, tmp_path):
+    import shutil
+
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+    spec = {"q": "torn"}
+    cache.get_or_compute(spec, "v1", lambda: _df(spark, 2))
+    shutil.rmtree(os.path.join(cache._entry(query_key(spec)), "data"))
+    assert cache.lookup(spec, "v1") is None  # miss, not a broken scan
+    assert cache.get_or_compute(spec, "v1", lambda: _df(spark, 4)).count() == 4
+
+
+def test_crash_between_data_swap_steps_is_invisible(spark, tmp_path, monkeypatch):
+    """The ADVICE torn-write scenario: crash AFTER the old data dir is
+    removed but BEFORE the new one is published.  Because the manifest
+    is removed first, the entry reads as a plain miss and recomputes."""
+    import shutil as sh
+
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+    spec = {"q": "crash"}
+    cache.get_or_compute(spec, "v1", lambda: _df(spark, 2))
+    real = sh.rmtree
+
+    def boom(path, *a, **k):
+        real(path, *a, **k)
+        raise RuntimeError("crash after old data removed")
+
+    monkeypatch.setattr(
+        "log_aggregation_pipeline_spark.plans.result_cache.shutil.rmtree", boom
+    )
+    try:
+        cache.get_or_compute(spec, "v2", lambda: _df(spark, 5))
+        raise AssertionError("expected injected crash")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert cache.lookup(spec, "v1") is None
+    assert cache.lookup(spec, "v2") is None
+    assert cache.get_or_compute(spec, "v2", lambda: _df(spark, 5)).count() == 5
+
+
 def test_eviction_is_lru_by_commit_seq(spark, tmp_path):
     cache = ResultCache(spark, str(tmp_path / "rc"), max_entries=2)
     for i in range(3):
