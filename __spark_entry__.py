@@ -323,6 +323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_lang_id"] = lambda s, d: text_analysis.lang_id(_docs(s, d)).select(
         "doc_id", "lang_pred", "lang_hits"
     )
+    q["doc_lm_score"] = lambda s, d: text_analysis.lm_repetition_features(
+        _docs(s, d)
+    ).select("doc_id", "n_tokens", "ttr", "top_tok_frac", "dup_bigram_frac",
+             "lm_score")
     q["doc_fingerprint"] = lambda s, d: _docs(s, d).select(
         "doc_id", text_analysis.fingerprint("text").alias("fp")
     )
@@ -560,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_token_counts"] = oracle.token_counts_sql(text_analysis.BPEISH_PATTERN)
     o["doc_quality_features"] = oracle.quality_sql(text_analysis.STOPWORDS)
     o["doc_lang_id"] = oracle.lang_id_sql(text_analysis.LANG_MARKERS)
+    o["doc_lm_score"] = oracle.lm_repetition_sql()
     o["doc_fingerprint"] = oracle.fingerprint_sql()
     o["emb_near_dup_pairs"] = oracle.embedding_near_dup_sql(EMB_NEAR_T)
     o["ann_cosine_topk"] = oracle.ann_topk_sql(ANN_QUERY_VEC, ANN_K)

@@ -94,6 +94,81 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram repetition / diversity scorer ("perplexity-ish" LM proxy)
+# ---------------------------------------------------------------------------
+def lm_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality v2: token/n-gram diversity statistics of the Gopher
+    repetition-filter family — the train-free stand-in for an LM
+    perplexity gate (repetitive, low-diversity text is exactly what a
+    real LM scores as degenerate).  A true n-gram LM log-score needs
+    float log sums whose libm/JVM 1-ulp drift breaks cross-engine
+    hashing, so every output here is a SINGLE integer-ratio double
+    division (exact on all engines), matching quality_features:
+
+    - ttr              type-token ratio: distinct/total tokens
+    - top_tok_frac     most frequent token's share
+    - dup_bigram_frac  share of word bigrams that are repeats
+    - lm_score         composite in [0,1] from thresholded terms
+
+    Pure expressions (split/HOFs), no shuffle; token and bigram arrays
+    are materialized in their own projections (the Catalyst
+    re-evaluates-inline-lambda-args trap, see dedupe).  Per-doc work is
+    O(distinct·total) for the top-token count — embarrassingly parallel
+    and bounded by doc length, fine at corpus scale."""
+    out = (
+        df.withColumn("_norm", normalize_text(text_col))
+        .withColumn("_toks", F.split("_norm", " "))
+        .withColumn(
+            "_n",
+            F.when(F.col("_norm") == "", F.lit(0)).otherwise(F.size("_toks")),
+        )
+        .withColumn("_dt", F.array_distinct("_toks"))
+        .withColumn(
+            "_bg",
+            F.when(
+                F.col("_n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - 1),
+                    lambda i: F.concat(
+                        F.element_at("_toks", i.cast("int")),
+                        F.lit(" "),
+                        F.element_at("_toks", (i + 1).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    n = F.col("_n")
+    maxcnt = F.array_max(
+        F.transform(
+            F.col("_dt"),
+            lambda t: F.size(F.filter(F.col("_toks"), lambda x: x == t)),
+        )
+    )
+    n_bg, d_bg = F.size("_bg"), F.size(F.array_distinct("_bg"))
+    ttr = F.when(n >= 1, F.round(F.size("_dt") / n, 6))
+    top = F.when(n >= 1, F.round(maxcnt / n, 6))
+    dup = F.when(n >= 2, F.round((n_bg - d_bg) / n_bg, 6)).when(
+        n == 1, F.lit(0.0)
+    )
+    out = (
+        out.withColumn("n_tokens", n)
+        .withColumn("ttr", ttr)
+        .withColumn("top_tok_frac", top)
+        .withColumn("dup_bigram_frac", dup)
+    )
+    score = (
+        F.when(F.col("dup_bigram_frac") <= 0.2, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("top_tok_frac") <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("ttr") >= 0.4, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return out.withColumn(
+        "lm_score",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(F.round(score, 6)),
+    ).drop("_norm", "_toks", "_n", "_dt", "_bg")
+
+
+# ---------------------------------------------------------------------------
 # language ID (n-gram/stopword heuristic)
 # ---------------------------------------------------------------------------
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

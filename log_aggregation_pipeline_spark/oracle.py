@@ -249,6 +249,42 @@ FROM ratios
 """
 
 
+def lm_repetition_sql() -> str:
+    """Twin of text_analysis.lm_repetition_features — every output a
+    single integer-ratio double division in the same formula order."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {NORM_SQL} AS norm, string_split({NORM_SQL}, ' ') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CASE WHEN norm = '' THEN 0 ELSE len(t) END AS n,
+    len(list_distinct(t)) AS d,
+    list_max(list_transform(list_distinct(t),
+                            x -> len(list_filter(t, y -> y = x)))) AS maxcnt,
+    CASE WHEN norm = '' OR len(t) < 2 THEN []
+         ELSE [t[i] || ' ' || t[i+1] for i in range(1, len(t))] END AS bg
+  FROM toks
+),
+r AS (
+  SELECT doc_id, n,
+    CASE WHEN n >= 1 THEN round(d * 1.0 / n, 6) END AS ttr,
+    CASE WHEN n >= 1 THEN round(maxcnt * 1.0 / n, 6) END AS top_tok_frac,
+    CASE WHEN n >= 2
+         THEN round((len(bg) - len(list_distinct(bg))) * 1.0 / len(bg), 6)
+         WHEN n = 1 THEN 0.0 END AS dup_bigram_frac
+  FROM base
+)
+SELECT doc_id, n AS n_tokens, ttr, top_tok_frac, dup_bigram_frac,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(
+    (CASE WHEN dup_bigram_frac <= 0.2 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN top_tok_frac <= 0.1 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN ttr >= 0.4 THEN 0.3 ELSE 0.0 END), 6) END AS lm_score
+FROM r
+"""
+
+
 def lang_id_sql(markers: dict[str, tuple[str, ...]]) -> str:
     hit_cols = []
     for lang, words in markers.items():

@@ -40,6 +40,25 @@ def test_quality_features(sample):
         assert 0.0 <= r.quality_score <= 1.0
 
 
+def test_lm_repetition_features(spark, sample):
+    rows = {r.doc_id: r for r in TA.lm_repetition_features(sample).collect()}
+    # "word word word ...": 1 distinct token of 30, every bigram a repeat
+    w = rows[4]
+    assert w.n_tokens == 30 and w.ttr == round(1 / 30, 6)
+    assert w.top_tok_frac == 1.0 and w.dup_bigram_frac == round(28 / 29, 6)
+    assert w.lm_score == 0.0  # degenerate text scores worst
+    # natural sentence: diverse tokens, no repeated bigrams
+    nat = rows[0]
+    assert nat.dup_bigram_frac == 0.0 and nat.ttr > 0.8
+    assert nat.lm_score >= 0.7
+    # edge cases: empty doc -> 0.0 score, nulls; single token -> dup 0.0
+    assert rows[3].n_tokens == 0 and rows[3].lm_score == 0.0
+    assert rows[3].ttr is None and rows[3].dup_bigram_frac is None
+    one = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    r1 = TA.lm_repetition_features(one).collect()[0]
+    assert r1.n_tokens == 1 and r1.dup_bigram_frac == 0.0 and r1.ttr == 1.0
+
+
 def test_lang_id(sample):
     rows = {r.doc_id: r.lang_pred for r in TA.lang_id(sample).collect()}
     assert rows[0] == "en"
