@@ -22,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.levels import normalize_level
 from ..operators.parse import parse_syslog
+
+# the push payload shape (reference models.LogEntry, the JSON the HTTP
+# endpoint accepts — http.go:156-185)
+PUSH_SCHEMA = (
+    "id string, source string, host string, ts timestamp, "
+    "level string, message string"
+)
 
 
 def read_socket_lines(
@@ -73,6 +81,79 @@ def start_syslog_ingress(
 
     return (
         lines.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def lift_push_entries(
+    lines: DataFrame,
+    source: str = "http-push",
+    host: str = "collector-01",
+    default_ts: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Reference S5 default-filling (http.go handleJSONIngest:169-182 /
+    handleTextIngest:192-205) as ONE set of coalesce projections over a
+    line feed:
+
+    - a line that parses as a JSON entry takes the JSON path: every
+      missing field falls back per-entry (id -> content hash of the
+      raw line, source/host -> collector config, level -> INFO);
+    - a line that does NOT parse falls through the SAME coalesces to
+      the text path (message = raw line, level = INFO) because
+      ``from_json`` yields NULL for it — two reference handlers, one
+      projection.
+
+    Deliberate divergence: the reference stamps missing timestamps
+    with time.Now(); this repo's data plane is wall-clock-free (SURVEY
+    §7 determinism rule), so a missing ts gets the configured
+    ``default_ts`` literal and replays stay byte-identical."""
+    j = F.from_json("value", PUSH_SCHEMA)
+    return lines.select(
+        j.alias("_j"), F.col("value")
+    ).select(
+        F.coalesce(F.col("_j.id"), F.md5("value")).alias("id"),
+        F.coalesce(F.col("_j.source"), F.lit(source)).alias("source"),
+        F.coalesce(F.col("_j.host"), F.lit(host)).alias("host"),
+        F.coalesce(
+            F.col("_j.ts"), F.lit(default_ts).cast("timestamp")
+        ).alias("ts"),
+        normalize_level(F.coalesce(F.col("_j.level"), F.lit("INFO"))).alias(
+            "level"
+        ),
+        F.coalesce(F.col("_j.message"), F.col("value")).alias("message"),
+        F.col("value").alias("raw"),
+    )
+
+
+def start_http_push_ingress(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    **lift_kwargs,
+):
+    """HTTP-push ingress demo: payload drops (one JSON entry or raw
+    text line per row, the body shapes http.go accepts) land as files
+    in ``drop_dir`` — the file stream is the webhook receiver analog —
+    then default-fill + level normalization + per-level sinks run as
+    one streaming DAG.  Production swap-point: the receiver becomes a
+    Kafka topic, ``lift_push_entries`` onward is untouched."""
+    import os
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    lines = spark.readStream.text(drop_dir)
+    entries = lift_push_entries(lines, **lift_kwargs)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy("level")
+            .parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+        )
+
+    return (
+        entries.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -48,6 +48,57 @@ def _free_port() -> int:
     return port
 
 
+def test_http_push_ingress_default_filling(spark, tmp_path):
+    """S5 demo: JSON/text payload drops -> coalesce default-filling ->
+    per-level sinks, live across two micro-batches (a second drop
+    arrives while the stream runs)."""
+    import json
+
+    from log_aggregation_pipeline_spark.streaming.ingress import (
+        start_http_push_ingress,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "push_out")
+    full = {"id": "given-1", "source": "svcA", "host": "h9",
+            "ts": "2024-02-01 12:00:00", "level": "err", "message": "boom"}
+    sparse = {"message": "partial entry"}  # everything else defaulted
+    batch1 = [json.dumps(full), json.dumps(sparse), "plain text, not json"]
+    (drop / "b1.txt").write_text("\n".join(batch1) + "\n")
+
+    q = start_http_push_ingress(spark, str(drop), out)
+    try:
+        q.processAllAvailable()
+        # live feed: a second payload lands while the stream is up
+        (drop / "b2.txt").write_text(json.dumps({"message": "late"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.option("basePath", out).parquet(
+        os.path.join(out, "epoch=*")
+    ).collect()
+    assert len(rows) == 4
+    by_msg = {r.message if r.message in ("boom", "partial entry", "late")
+              else "text": r for r in rows}
+    # JSON path, all fields present: passed through (level normalized)
+    f = by_msg["boom"]
+    assert (f.id, f.source, f.host, f.level) == ("given-1", "svcA", "h9", "ERROR")
+    assert str(f.ts) == "2024-02-01 12:00:00"
+    # JSON path, missing fields: per-field defaults incl. content id
+    s = by_msg["partial entry"]
+    assert s.source == "http-push" and s.host == "collector-01"
+    assert s.level == "INFO" and str(s.ts) == "2024-01-01 00:00:00"
+    assert s.id and s.id != "given-1"
+    # text path: unparseable line -> message = raw, defaults filled
+    t = by_msg["text"]
+    assert t.raw == "plain text, not json" and t.message == t.raw
+    assert t.level == "INFO" and t.id
+    # ids are content-derived and unique
+    assert len({r.id for r in rows}) == 4
+
+
 def test_socket_syslog_ingress(spark, tmp_path):
     from log_aggregation_pipeline_spark.streaming.ingress import (
         start_syslog_ingress,
