@@ -15,6 +15,12 @@ partitioned log (Kafka source — same DataFrame surface, swap
 ``format("socket")`` for ``format("kafka")`` and the parse/route
 stages are untouched).  That swap-point is the whole design: ingress
 is a FORMAT, the engine is the DAG.
+
+Sink contract note: the demo sinks write ``epoch={id}`` dirs with no
+manifest gating — idempotent under replay (overwrite) but an in-flight
+epoch IS visible to readers.  That is fine for a demo tail; anything
+production-shaped must go through the batch sink's manifest commit
+(plans.lineage) instead, which keeps half-written data invisible.
 """
 
 from __future__ import annotations
@@ -53,23 +59,11 @@ def read_socket_lines(
     )
 
 
-def start_syslog_ingress(
-    spark: SparkSession,
-    out_dir: str,
-    host: str = "127.0.0.1",
-    port: int = 9999,
-    checkpoint_dir: str | None = None,
-):
-    """RFC3164 syslog over TCP -> parse -> per-severity parquet sinks.
-
-    The parse stage is the batch engine's ``parse_syslog`` verbatim
-    (PRI decode, severity->level table, tag/pid split) applied inside
-    ``foreachBatch`` — reference syslog.go's listener+parse loop as
-    one streaming DAG."""
+def _syslog_sink(out_dir: str):
+    """foreachBatch body shared by every syslog ingress mode: the
+    batch engine's ``parse_syslog`` verbatim (PRI decode,
+    severity->level table, tag/pid split) -> per-severity parquet."""
     import os
-
-    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
-    lines = read_socket_lines(spark, host, port)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         parsed = parse_syslog(batch_df, raw_col="raw")
@@ -79,8 +73,95 @@ def start_syslog_ingress(
             .parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
         )
 
+    return process
+
+
+def start_syslog_ingress(
+    spark: SparkSession,
+    out_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 9999,
+    checkpoint_dir: str | None = None,
+):
+    """RFC3164 syslog over TCP -> parse -> per-severity parquet sinks
+    — reference syslog.go's listener+parse loop as one streaming DAG."""
+    import os
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    lines = read_socket_lines(spark, host, port)
     return (
-        lines.writeStream.foreachBatch(process)
+        lines.writeStream.foreachBatch(_syslog_sink(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def start_udp_receiver(
+    drop_dir: str, host: str = "127.0.0.1", port: int = 0
+):
+    """Reference syslog.go:96-130 — the 64 KiB UDP datagram listener.
+
+    Spark's socket source is TCP-only, so the datagram leg is a
+    receiver thread that spools each datagram to its own file in
+    ``drop_dir`` (tmp-write + rename; Spark's file source ignores the
+    ``_``-prefixed tmp names) — the standard edge-collector shape
+    (receiver -> spool -> engine).  UDP's actual semantics live at the
+    receiver where they belong: one datagram = one message (no stream
+    framing to split), and a datagram dropped by the network is simply
+    never spooled (lossy, no retransmit — unlike the TCP path).
+
+    Returns ``(bound_port, stop_event, thread)``; set the event to
+    stop the receiver."""
+    import os
+    import socket
+    import threading
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind((host, port))
+    sock.settimeout(0.2)
+    bound = sock.getsockname()[1]
+    stop = threading.Event()
+
+    def run():
+        i = 0
+        while not stop.is_set():
+            try:
+                data, _ = sock.recvfrom(65536)  # 64 KiB, syslog.go:96
+            except TimeoutError:
+                continue
+            msg = data.decode("utf-8", "replace").rstrip("\n")
+            tmp = os.path.join(drop_dir, f"_tmp_{i}")
+            with open(tmp, "w") as f:
+                f.write(msg + "\n")
+            os.replace(tmp, os.path.join(drop_dir, f"dgram_{i:06d}.log"))
+            i += 1
+        sock.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return bound, stop, t
+
+
+def start_udp_syslog_ingress(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+):
+    """The engine half of the UDP path: file-stream over the receiver's
+    spool dir -> envelope lift -> the SAME parse/sink stage as the TCP
+    ingress (one datagram = one row by construction)."""
+    import os
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    src = F.lit(f"udp-spool://{drop_dir}")
+    lines = spark.readStream.text(drop_dir).select(
+        F.md5(F.concat_ws(":", src, F.col("value"))).alias("id"),
+        F.col("value").alias("raw"),
+        src.alias("source"),
+    )
+    return (
+        lines.writeStream.foreachBatch(_syslog_sink(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -48,6 +48,48 @@ def _free_port() -> int:
     return port
 
 
+def test_udp_syslog_ingress(spark, tmp_path):
+    """UDP datagram leg (syslog.go:96-130): receiver thread spools one
+    file per datagram (datagram framing, no stream splitting), the
+    file stream runs the same parse/sink stage as the TCP path."""
+    from log_aggregation_pipeline_spark.streaming.ingress import (
+        start_udp_receiver,
+        start_udp_syslog_ingress,
+    )
+
+    drop = tmp_path / "udp_drop"
+    drop.mkdir()
+    out = str(tmp_path / "udp_out")
+    port, stop, _t = start_udp_receiver(str(drop))
+    cli = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        for line in LINES:
+            cli.sendto(line.encode(), ("127.0.0.1", port))
+        deadline = time.time() + 10
+        while (time.time() < deadline
+               and len(glob.glob(str(drop / "dgram_*.log"))) < len(LINES)):
+            time.sleep(0.1)
+        assert len(glob.glob(str(drop / "dgram_*.log"))) == len(LINES)
+    finally:
+        cli.close()
+
+    q = start_udp_syslog_ingress(spark, str(drop), out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        stop.set()
+
+    rows = spark.read.option("basePath", out).parquet(
+        os.path.join(out, "epoch=*")
+    ).collect()
+    assert sorted(r.level for r in rows) == ["DEBUG", "ERROR", "FATAL", "INFO"]
+    by_level = {r.level: r for r in rows}
+    assert by_level["FATAL"].syslog_host == "web01"
+    assert by_level["ERROR"].message == "app: boom code=E042"
+    assert len({r.id for r in rows}) == len(LINES)
+
+
 def test_http_push_ingress_default_filling(spark, tmp_path):
     """S5 demo: JSON/text payload drops -> coalesce default-filling ->
     per-level sinks, live across two micro-batches (a second drop
