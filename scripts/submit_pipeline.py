@@ -44,6 +44,14 @@ def main() -> None:
                     help="i/k: process only conv_ids with "
                          "pmod(xxhash64(conv_id), k) == i — one executor's "
                          "share when simulating a k-executor cluster")
+    ap.add_argument("--compute-only", action="store_true",
+                    help="scaling ablation: run the SAME DAG (parse -> "
+                         "enrich -> tag/fan-out -> within-partition sort, "
+                         "then the conv-hour aggregate) but sink every "
+                         "stage to Spark's noop format — no bytes written, "
+                         "no manifest/metrics — isolating the job's "
+                         "compute+shuffle scaling from the single shared "
+                         "disk (BENCH/SCALING.md round-3)")
     args = ap.parse_args()
 
     # Imports must resolve from the --py-files zip on executors.
@@ -97,6 +105,44 @@ def main() -> None:
 
     n_turns = transcripts.count()
     wall, res = None, None
+    if args.compute_only:
+        from log_aggregation_pipeline_spark.operators.agg import conv_hour_agg
+        from log_aggregation_pipeline_spark.plans.pipeline import (
+            parsed_view,
+            tagged_view,
+        )
+
+        for i in range(max(1, args.repeats)):
+            t0 = time.perf_counter()
+            tagged = tagged_view(parsed_view(spark, transcripts, impl=args.impl))
+            # two actions mirror the real pipeline's two passes (sink
+            # write, then aggregate over sink rows); parse runs twice,
+            # identically at every parallelism level, so the 1->4
+            # efficiency ratio is unaffected
+            (
+                tagged.sortWithinPartitions("sink", "hour_key")
+                .write.format("noop").mode("overwrite").save()
+            )
+            (
+                conv_hour_agg(
+                    tagged, salted=args.salted_agg, extra_group_cols=("sink",)
+                ).write.format("noop").mode("overwrite").save()
+            )
+            dt = time.perf_counter() - t0
+            if wall is None or dt < wall:
+                wall = dt
+        print(
+            json.dumps(
+                {
+                    "mode": "compute_only",
+                    "n_turns": n_turns,
+                    "wall_sec": round(wall, 3),
+                    "turns_per_sec": round(n_turns / wall, 1),
+                }
+            )
+        )
+        spark.stop()
+        return
     for i in range(max(1, args.repeats)):
         out = args.out if args.repeats == 1 else f"{args.out}_rep{i}"
         t0 = time.perf_counter()

@@ -126,6 +126,19 @@ def test_ivf_at_ingest_prunes_partitions(spark, tmp_path):
     assert "cluster" in pf
 
 
+def test_lm_repetition_is_projection(spark):
+    """The repetition scorer is pure per-row HOF expressions — any
+    Exchange/HashAggregate would mean a stray shuffle crept in."""
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        lm_repetition_features,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(lm_repetition_features(docs).select("doc_id", "lm_score"))
+    assert "Exchange" not in p
+    assert "HashAggregate" not in p
+
+
 def test_minhash_signature_is_projection(spark):
     """The HOF signature path must not shuffle: no exchange between the
     scan and the signature projection (the old explode+32-agg form cost
