@@ -1,0 +1,125 @@
+"""Duplicate-cluster resolution: connected components over pair sets.
+
+Near-dup operators (``operators.dedupe``) emit PAIRS; a real
+training-data pipeline then needs the transitive closure — "these 9
+docs are all one document, keep one" — i.e. connected components with
+a deterministic representative (the minimum node id).  The reference's
+blueprint stops at the dedup *filter* declaration
+(/root/reference/log-aggregation-pipeline-blueprint.md:269-274); this
+is the cluster-resolution step it would need next.
+
+Algorithm: iterative min-label propagation with pointer jumping —
+each round every node takes the min label over itself and its
+neighbors (one shuffle join + one partial-agg groupBy), then labels
+are short-circuited through themselves (``l(v) <- l(l(v))``, one more
+join), which doubles the propagation distance per round.  Rounds
+needed: O(log d) for component diameter d — near-dup graphs are
+overwhelmingly star/clique shaped (d <= 2-3), so 2-3 rounds in
+practice, with a hard ``max_iter`` that RAISES rather than silently
+returning partial clusters (no-silent-caps rule).
+
+Scale posture: all joins key on node/label ids (uniform hash keys, no
+skew salting needed); per-round state is exactly one (node, label) row
+per node — O(V) not O(E); ``localCheckpoint`` truncates the iterative
+lineage each round so plan size stays constant at any round count
+(the classic iterative-join failure mode on big clusters is Catalyst
+re-planning an ever-growing tree).  The driver-side loop is control
+flow only — each iteration's data work is fully distributed, and the
+single ``.isEmpty()`` convergence probe per round is an early-exit
+aggregate, not a collect of data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 16,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``.
+
+    ``component`` is the minimum node id in the node's connected
+    component — deterministic, so downstream "keep the representative"
+    filters are reproducible.  Nodes not in any pair are not emitted
+    (singletons are already their own keeper by definition).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    # edges participate in every round: materialize once
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # 1) neighbor-min: min over own label and all neighbors' labels
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .select(edges.u.alias("node"), "label")
+        )
+        new_labels = (
+            nbr.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # 2) pointer jump: l(v) <- l(l(v)) — doubles propagation reach
+        lbl2 = new_labels.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            new_labels.join(lbl2, new_labels.label == lbl2.p_node)
+            .select("node", F.col("p_label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+        )
+        old = labels
+        labels = new_labels
+        if changed.isEmpty():
+            old.unpersist()
+            return labels.select(
+                F.col("node"), F.col("label").alias("component")
+            )
+        old.unpersist()
+
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds 2^max_iter; raise max_iter"
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id"
+) -> DataFrame:
+    """(doc_id, cluster_rep, cluster_size) for every doc in a near-dup
+    pair — the "which rows are one document" answer a dedup pipeline
+    acts on.  ``cluster_rep`` is the component-min doc id (the keeper),
+    ``cluster_size`` the component's row count.  One extra groupBy +
+    shuffle join on component — component count is O(nodes) so the
+    size table must NOT be broadcast; a giant component makes the join
+    key hot, which AQE's skew split handles (same posture as A4).
+    """
+    cc = connected_components(pairs, a_col, b_col)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_rep"),
+            "cluster_size",
+        )
+    )
