@@ -1,0 +1,73 @@
+"""Eval-set decontamination: flag training docs that leak benchmark text.
+
+Before training, every serious pipeline removes documents that share
+n-gram spans with held-out evaluation sets (the GPT-3 appendix-C
+recipe: 13-gram overlap).  The reference pipeline has no analog — this
+belongs to the training-data suite alongside ``operators.dedupe``.
+
+Shape at 100 TB: the EVAL side is tiny (benchmarks are 10^4-10^6
+items → at most a few 10^7 distinct shingles), the TRAIN side is the
+100 TB — so the only sane plan is "collect eval shingles, broadcast,
+hash-join against the train shingle stream": zero shuffle on the big
+side, one scan, map-side join.  ``broadcast_eval=False`` exists for a
+pathological eval set (falls back to a shuffle join keyed on shingle —
+uniform content keys, no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from log_aggregation_pipeline_spark.operators.dedupe import _shingle_df
+
+
+def contaminated_docs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 5,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, n_shared) for train docs sharing >= ``min_overlap``
+    distinct word-k-gram shingles with ANY eval doc.
+
+    ``n_shared`` counts the train doc's distinct shingles that appear
+    anywhere in the eval set (shingle sets are distinct on both sides,
+    so the join emits each shared shingle exactly once per doc).
+    Normalization is the dedup family's ``normalize_text``.
+    """
+    ev = (
+        _shingle_df(eval_df, k, text_col, id_col)
+        .select(F.explode("_sh").alias("_s"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = _shingle_df(train, k, text_col, id_col).select(
+        "_id", F.explode("_sh").alias("_s")
+    )
+    return (
+        tr.join(ev, "_s")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 5,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train rows with the contaminated docs REMOVED (left-anti join
+    against the flagged set) — the filter form of the same plan."""
+    flagged = contaminated_docs(
+        train, eval_df, k, min_overlap, text_col, id_col
+    ).select(id_col)
+    return train.join(flagged, id_col, "left_anti")
