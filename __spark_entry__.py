@@ -14,8 +14,11 @@ from pyspark.sql import functions as F
 
 from log_aggregation_pipeline_spark import oracle
 from log_aggregation_pipeline_spark.operators import (
+    cluster,
+    decontam,
     dedupe,
     multimodal,
+    redact,
     similarity,
     text_analysis,
 )
@@ -52,6 +55,7 @@ from log_aggregation_pipeline_spark.sources.transcripts import (
 # fixed query parameters (shared by Spark + oracle sides)
 JACCARD_K, JACCARD_T = 3, 0.4
 SHINGLE_CAP = 1000  # stop-shingle frequency cap (scale guardrail)
+DECONTAM_K, N_EVAL = 5, 20  # decontamination shingle size / eval-set size
 SAMPLE_FRAC, SAMPLE_IDS = 0.1, ["conv_id", "turn_idx"]
 EMB_NEAR_T = 0.3
 ANN_QUERY_VEC, ANN_K = 0, 10
@@ -311,6 +315,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_ngram_jaccard_pairs"] = lambda s, d: dedupe.ngram_jaccard_pairs(
         _docs(s, d), k=JACCARD_K, threshold=JACCARD_T, max_shingle_freq=SHINGLE_CAP
     )
+    q["doc_dup_clusters"] = lambda s, d: cluster.dup_clusters(
+        dedupe.ngram_jaccard_pairs(
+            _docs(s, d), k=JACCARD_K, threshold=JACCARD_T,
+            max_shingle_freq=SHINGLE_CAP,
+        )
+    )
+    def _decontaminate(s, d):
+        docs = _docs(s, d)
+        ev = docs.orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        ).limit(N_EVAL)
+        train = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
+        return decontam.contaminated_docs(train, ev, k=DECONTAM_K)
+
+    q["doc_decontaminate"] = _decontaminate
+
+    def _redact_stats(s, d):
+        # deterministic PII augmentation (oracle.AUG_SQL twin): the
+        # synthetic corpus has no natural PII, so both sides derive
+        # the same augmented string from doc_id
+        did = F.col("doc_id")
+        aug = _docs(s, d).select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.concat(F.lit("contact user"), did.cast("string"),
+                         F.lit("@example.com")),
+                F.concat(F.lit("from 10.0."), (did % 256).cast("string"),
+                         F.lit(".7")),
+                F.when(
+                    did % 3 == 0,
+                    F.concat(F.lit("api_key=SECRET"), did.cast("string"),
+                             F.lit("TOKENVALUE")),
+                ),
+            ).alias("t"),
+        )
+        out = redact.redact(aug, "t", out_col="red")
+        return out.select(
+            "doc_id",
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_ipv4").cast("long").alias("n_ipv4"),
+            F.col("n_secret").cast("long").alias("n_secret"),
+            F.md5("red").alias("redacted_md5"),
+        )
+
+    q["doc_redact_stats"] = _redact_stats
     q["doc_token_counts"] = lambda s, d: text_analysis.with_token_counts(
         _docs(s, d)
     ).select("doc_id", "n_ws_tokens", "n_bpeish_tokens")
@@ -561,6 +612,14 @@ def oracle_sql() -> dict[str, str]:
     o["doc_ngram_jaccard_pairs"] = oracle.ngram_jaccard_sql(
         JACCARD_K, JACCARD_T, max_shingle_freq=SHINGLE_CAP
     )
+    o["doc_dup_clusters"] = oracle.dup_clusters_sql(
+        oracle.ngram_jaccard_sql(
+            JACCARD_K, JACCARD_T, max_shingle_freq=SHINGLE_CAP,
+            include_common=False,
+        )
+    )
+    o["doc_decontaminate"] = oracle.decontaminate_sql(DECONTAM_K, N_EVAL)
+    o["doc_redact_stats"] = oracle.redact_stats_sql(redact.REDACTIONS)
     o["doc_token_counts"] = oracle.token_counts_sql(text_analysis.BPEISH_PATTERN)
     o["doc_quality_features"] = oracle.quality_sql(text_analysis.STOPWORDS)
     o["doc_lang_id"] = oracle.lang_id_sql(text_analysis.LANG_MARKERS)

@@ -206,6 +206,98 @@ WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= {threshold}
 """
 
 
+def dup_clusters_sql(pairs_sql: str) -> str:
+    """Connected components over an arbitrary pairs query (columns
+    a_id, b_id) via a recursive min-reachability CTE — an independent
+    algorithm from the Spark side's label propagation: ``reach``
+    enumerates every (node, reachable node) pair over the symmetric
+    edge set (UNION dedups, so it terminates), and the component
+    representative is the min reachable id."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({pairs_sql})
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id)
+SELECT doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM comp
+"""
+
+
+def decontaminate_sql(k: int, n_eval: int, min_overlap: int = 1) -> str:
+    """Eval-overlap contamination flags.  The eval set is the first
+    ``n_eval`` docs by md5(doc_id) (the repo's standard deterministic
+    sampling key) — both sides derive it identically from the data."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ {gram} for i in range(1, len(t) - {k - 2}) ]) AS shingles
+  FROM toks WHERE len(t) >= {k}
+),
+eval_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id LIMIT {n_eval}
+),
+ev AS (
+  SELECT DISTINCT unnest(shingles) AS s
+  FROM sh JOIN eval_ids USING (doc_id)
+),
+tr AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+  WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)
+)
+SELECT doc_id, count(*) AS n_shared
+FROM tr JOIN ev USING (s)
+GROUP BY doc_id
+HAVING count(*) >= {min_overlap}
+"""
+
+
+AUG_SQL = (
+    "concat_ws(' ', text, "
+    "'contact user' || cast(doc_id AS VARCHAR) || '@example.com', "
+    "'from 10.0.' || cast(doc_id % 256 AS VARCHAR) || '.7', "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'api_key=SECRET' || cast(doc_id AS VARCHAR) || 'TOKENVALUE' END)"
+)
+
+
+def redact_stats_sql(redactions) -> str:
+    """Redaction twin over the deterministically PII-augmented text
+    (the synthetic corpus has no natural PII; both sides derive the
+    same augmented string from doc_id, so the patterns are actually
+    exercised).  DuckDB needs the explicit 'g' flag to match Spark's
+    replace-all default."""
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in redactions
+    )
+    red = "t"
+    for _, pat, repl in redactions:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH aug AS (SELECT doc_id, {AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+  {counts},
+  md5({red}) AS redacted_md5
+FROM aug
+"""
+
+
 def token_counts_sql(bpeish_pattern: str) -> str:
     return f"""
 SELECT doc_id,
