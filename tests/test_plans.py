@@ -126,6 +126,24 @@ def test_ivf_at_ingest_prunes_partitions(spark, tmp_path):
     assert "cluster" in pf
 
 
+def test_decontam_broadcasts_eval_side(spark):
+    """The 100 TB shape: eval shingles broadcast, train side scans with
+    NO shuffle exchange feeding the join (a shuffled train side would
+    move the whole corpus)."""
+    from log_aggregation_pipeline_spark.operators.decontam import (
+        contaminated_docs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.limit(10)
+    p = plan_of(contaminated_docs(docs, ev, k=5))
+    assert "BroadcastHashJoin" in p
+    # the ONLY shuffle is the final per-doc count (keyed on _id);
+    # a shingle-keyed exchange would mean the corpus side shuffles
+    ex_lines = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex_lines) == 1 and "_id" in ex_lines[0]
+
+
 def test_lm_repetition_is_projection(spark):
     """The repetition scorer is pure per-row HOF expressions — any
     Exchange/HashAggregate would mean a stray shuffle crept in."""
