@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from log_aggregation_pipeline_spark.operators.dedupe import _shingle_df
+from log_aggregation_pipeline_spark.operators.dedupe import (
+    _explode_shingles,
+    _shingle_df,
+)
 
 
 def contaminated_docs(
@@ -40,15 +43,13 @@ def contaminated_docs(
     Normalization is the dedup family's ``normalize_text``.
     """
     ev = (
-        _shingle_df(eval_df, k, text_col, id_col)
-        .select(F.explode("_sh").alias("_s"))
+        _explode_shingles(_shingle_df(eval_df, k, text_col, id_col))
+        .select("_s")
         .distinct()
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
-    tr = _shingle_df(train, k, text_col, id_col).select(
-        "_id", F.explode("_sh").alias("_s")
-    )
+    tr = _explode_shingles(_shingle_df(train, k, text_col, id_col))
     return (
         tr.join(ev, "_s")
         .groupBy(F.col("_id").alias(id_col))

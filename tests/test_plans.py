@@ -126,6 +126,23 @@ def test_ivf_at_ingest_prunes_partitions(spark, tmp_path):
     assert "cluster" in pf
 
 
+def test_shingle_explode_has_no_inlined_hof_filter(spark):
+    """explode (non-outer) pushes a vacuous non-empty filter below the
+    shingle projection, inlining the whole nested-HOF expression into
+    the Filter operator (evaluated 2 extra times per row outside
+    codegen — measured 60-75 s vs 4-6 s cold at sf0.1).  Pin that no
+    Filter condition contains a HOF after the explode_outer fix."""
+    from log_aggregation_pipeline_spark.operators.dedupe import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(ngram_jaccard_pairs(docs, max_shingle_freq=1000))
+    bad = [l for l in p.splitlines()
+           if "Filter" in l and "transform(" in l]
+    assert bad == []
+
+
 def test_decontam_broadcasts_eval_side(spark):
     """The 100 TB shape: eval shingles broadcast, train side scans with
     NO shuffle exchange feeding the join (a shuffled train side would
