@@ -100,6 +100,33 @@ def windowed_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous twin of
+    ``operators.dedupe.exact_dedup_rows`` (F7): first occurrence of a
+    normalized content hash wins, duplicates arriving later are
+    dropped.  ``dropDuplicatesWithinWatermark`` keys the state store
+    on the content hash and EVICTS entries older than the watermark —
+    the property that makes streaming dedup viable at all: unbounded
+    ``dropDuplicates`` state would grow with the corpus, while the
+    watermark bounds it to the duplicate-arrival window (dupes in a
+    log/transcript feed arrive close together; far-apart re-sends are
+    the batch dedup's job downstream).  State is per-key in the HDFS/
+    RocksDB state store, so it shards with the hash — no skew."""
+    from ..operators.dedupe import content_hash
+
+    return (
+        stream.withColumn("_ch", content_hash(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_ch"])
+        .drop("_ch")
+    )
+
+
 def run_stream_to_completion(
     spark: SparkSession,
     in_path: str,

@@ -128,3 +128,41 @@ def test_rotation_to_archive_dir_is_exactly_once(spark, transcripts, tmp_path):
             for r in batch.filter(route.spark_pred()).select(*KEY).collect()
         )
         assert _routed_keys(spark, out_dir, name) == exp  # no dups, no gaps
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact dedup (F7 twin): a duplicate of a row from an
+    EARLIER micro-batch is dropped (state store carries the content
+    hash across batches); distinct content always passes."""
+    import datetime as dt
+
+    from log_aggregation_pipeline_spark.streaming.stream import dedup_stream
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "id string, text string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [("a", "hello world", t0), ("b", "other text", t0)], schema)
+    b2 = spark.createDataFrame(
+        [("c", "Hello   WORLD", t0 + dt.timedelta(minutes=10)),  # dup of a (normalized)
+         ("d", "fresh content", t0 + dt.timedelta(minutes=10))], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # forces >= 2 micro-batches
+        .parquet(in_dir)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(r.id for r in spark.read.parquet(out_dir).collect())
+    assert got == ["a", "b", "d"]  # c deduped against a, across batches
