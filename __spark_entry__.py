@@ -362,6 +362,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_redact_stats"] = _redact_stats
+    q["doc_corpus_stats"] = lambda s, d: text_analysis.corpus_stats(
+        _docs(s, d)
+    ).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+        "p50_tokens",
+        "p95_tokens",
+        "mean_tokens",
+    )
     q["doc_token_counts"] = lambda s, d: text_analysis.with_token_counts(
         _docs(s, d)
     ).select("doc_id", "n_ws_tokens", "n_bpeish_tokens")
@@ -620,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["doc_decontaminate"] = oracle.decontaminate_sql(DECONTAM_K, N_EVAL)
     o["doc_redact_stats"] = oracle.redact_stats_sql(redact.REDACTIONS)
+    o["doc_corpus_stats"] = oracle.corpus_stats_sql()
     o["doc_token_counts"] = oracle.token_counts_sql(text_analysis.BPEISH_PATTERN)
     o["doc_quality_features"] = oracle.quality_sql(text_analysis.STOPWORDS)
     o["doc_lang_id"] = oracle.lang_id_sql(text_analysis.LANG_MARKERS)

@@ -226,6 +226,29 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         timed("doc_lm_score", lambda: noop(
             lm_repetition_features(docs).select(
                 "doc_id", "ttr", "top_tok_frac", "dup_bigram_frac", "lm_score")))
+        from log_aggregation_pipeline_spark.operators.cluster import (
+            dup_clusters,
+        )
+        from log_aggregation_pipeline_spark.operators.decontam import (
+            contaminated_docs,
+        )
+        from log_aggregation_pipeline_spark.operators.redact import redact
+
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            corpus_stats,
+        )
+
+        timed("doc_corpus_stats", lambda: noop(corpus_stats(docs)))
+        timed("doc_redact", lambda: noop(redact(docs).select(
+            "doc_id", "n_email", "n_ipv4", "n_secret", "redacted")))
+        ev = docs.orderBy(F.md5(F.col("doc_id").cast("string")),
+                          "doc_id").limit(200)
+        train = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
+        timed("doc_decontaminate", lambda: noop(
+            contaminated_docs(train, ev, k=5)))
+        # includes its jaccard pair-source sub-plan + CC iterations
+        timed("doc_dup_clusters", lambda: noop(dup_clusters(
+            ngram_jaccard_pairs(docs, max_shingle_freq=1000))))
 
     spark.stop()
     total = round(sum(timings.values()), 4)

@@ -231,3 +231,30 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fp_sketch", rolling_fingerprint(F.col("_norm")))
         .drop("_norm")
     )
+
+
+def corpus_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group corpus composition report — the dataset card a
+    training run starts from: doc counts, token totals, and the token-
+    count distribution (exact interpolated p50/p95 via Spark's
+    ``percentile``, which matches DuckDB's ``quantile_cont``
+    definition: linear interpolation at rank (n-1)*p).
+
+    One shuffle keyed on the group column (sources are few and the
+    partial aggregation is map-side); percentile is the only
+    non-partial aggregate — it gathers the group's values, which is
+    fine for a per-SOURCE rollup (group count is tiny, per-group value
+    lists are bounded by group size; for a high-cardinality group key
+    switch to approx_percentile).  Ratios use integer numerators and a
+    single 6dp round so the doubles are bit-identical to the SQL twin
+    (repo float-oracle rule)."""
+    toks = with_token_counts(df)
+    return toks.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws_tokens").alias("total_tokens"),
+        F.min("n_ws_tokens").alias("min_tokens"),
+        F.max("n_ws_tokens").alias("max_tokens"),
+        F.round(F.percentile("n_ws_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_ws_tokens", F.lit(0.95)), 6).alias("p95_tokens"),
+        F.round(F.sum("n_ws_tokens") / F.count("*"), 6).alias("mean_tokens"),
+    )

@@ -234,6 +234,28 @@ FROM comp
 """
 
 
+def corpus_stats_sql(group_col: str = "source") -> str:
+    """Per-group composition twin.  ``quantile_cont`` is DuckDB's
+    interpolated quantile — the same definition as Spark's exact
+    ``percentile`` (linear at rank (n-1)*p)."""
+    n_sql = (
+        f"CASE WHEN {NORM_SQL} = '' THEN 0 "
+        f"ELSE len(string_split({NORM_SQL}, ' ')) END"
+    )
+    return f"""
+WITH toks AS (SELECT {group_col}, {n_sql} AS n FROM documents)
+SELECT {group_col},
+       count(*) AS n_docs,
+       cast(sum(n) AS BIGINT) AS total_tokens,
+       min(n) AS min_tokens,
+       max(n) AS max_tokens,
+       round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n, 0.95), 6) AS p95_tokens,
+       round(sum(n) * 1.0 / count(*), 6) AS mean_tokens
+FROM toks GROUP BY {group_col}
+"""
+
+
 def decontaminate_sql(k: int, n_eval: int, min_overlap: int = 1) -> str:
     """Eval-overlap contamination flags.  The eval set is the first
     ``n_eval`` docs by md5(doc_id) (the repo's standard deterministic

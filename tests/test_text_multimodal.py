@@ -122,3 +122,22 @@ def test_resize_and_frames(media):
     n_videos = media.filter(F.col("kind") == "video").count()
     assert len(fr) == 4 * n_videos
     assert set(fr["frame_idx"]) == {0, 1, 2, 3}
+
+
+def test_corpus_stats_known_distribution(spark):
+    """Exact interpolated quantiles on a constructed group: tokens
+    [10,20,30,40] -> p50 = 25.0 (interpolated), p95 = 38.5."""
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        corpus_stats,
+    )
+
+    rows = [
+        (i, " ".join(["w"] * n), "s1") for i, n in enumerate([10, 20, 30, 40])
+    ] + [(99, "one two three", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in corpus_stats(df).collect()}
+    s1 = got["s1"]
+    assert (s1.n_docs, s1.total_tokens, s1.min_tokens, s1.max_tokens) == (4, 100, 10, 40)
+    assert s1.p50_tokens == 25.0 and s1.p95_tokens == 38.5
+    assert s1.mean_tokens == 25.0
+    assert got["s2"].p50_tokens == 3.0 and got["s2"].n_docs == 1
