@@ -18,6 +18,7 @@ from log_aggregation_pipeline_spark.operators import (
     decontam,
     dedupe,
     multimodal,
+    packing,
     redact,
     similarity,
     text_analysis,
@@ -56,6 +57,7 @@ from log_aggregation_pipeline_spark.sources.transcripts import (
 JACCARD_K, JACCARD_T = 3, 0.4
 SHINGLE_CAP = 1000  # stop-shingle frequency cap (scale guardrail)
 DECONTAM_K, N_EVAL = 5, 20  # decontamination shingle size / eval-set size
+PACK_CAP, PACK_SHARDS = 512, 16  # sequence-packing bin capacity / shards
 SAMPLE_FRAC, SAMPLE_IDS = 0.1, ["conv_id", "turn_idx"]
 EMB_NEAR_T = 0.3
 ANN_QUERY_VEC, ANN_K = 0, 10
@@ -362,6 +364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_redact_stats"] = _redact_stats
+    q["doc_pack_sequences"] = lambda s, d: packing.pack_sequences(
+        _docs(s, d), capacity=PACK_CAP, n_shards=PACK_SHARDS
+    )
     q["doc_corpus_stats"] = lambda s, d: text_analysis.corpus_stats(
         _docs(s, d)
     ).select(
@@ -633,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_decontaminate"] = oracle.decontaminate_sql(DECONTAM_K, N_EVAL)
     o["doc_redact_stats"] = oracle.redact_stats_sql(redact.REDACTIONS)
     o["doc_corpus_stats"] = oracle.corpus_stats_sql()
+    o["doc_pack_sequences"] = oracle.pack_sequences_sql(PACK_CAP, PACK_SHARDS)
     o["doc_token_counts"] = oracle.token_counts_sql(text_analysis.BPEISH_PATTERN)
     o["doc_quality_features"] = oracle.quality_sql(text_analysis.STOPWORDS)
     o["doc_lang_id"] = oracle.lang_id_sql(text_analysis.LANG_MARKERS)

@@ -256,6 +256,38 @@ FROM toks GROUP BY {group_col}
 """
 
 
+def pack_sequences_sql(capacity: int, n_shards: int) -> str:
+    """Packing twin: shard from the md5 rank-key idiom, running cumsum
+    (rows unbounded-preceding to 1 preceding) per shard in doc_id
+    order, bin = cumsum div capacity."""
+    n_sql = (
+        f"CASE WHEN {NORM_SQL} = '' THEN 0 "
+        f"ELSE len(string_split({NORM_SQL}, ' ')) END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {n_shards} AS shard,
+         {n_sql} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM toks
+)
+SELECT doc_id, cast(shard AS INTEGER) AS shard, n_tokens,
+       cast(before // {capacity} AS INTEGER) AS bin_id,
+       cast(before % {capacity} AS INTEGER) AS bin_offset,
+       ((before + n_tokens - 1) // {capacity}) > (before // {capacity})
+         AS straddles
+FROM c
+"""
+
+
 def decontaminate_sql(k: int, n_eval: int, min_overlap: int = 1) -> str:
     """Eval-overlap contamination flags.  The eval set is the first
     ``n_eval`` docs by md5(doc_id) (the repo's standard deterministic

@@ -1,0 +1,77 @@
+"""Sequence packing: contiguous fill arithmetic, straddle flags, and
+the sharded-window plan (the global-order variant would be a
+one-partition scale-killer)."""
+
+from __future__ import annotations
+
+import pytest
+
+from log_aggregation_pipeline_spark.operators.packing import pack_sequences
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _one_shard_rows(spark, n_tokens_list, capacity):
+    # n_shards=1 puts every doc in shard 0 -> deterministic fill order
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(n_tokens_list)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, capacity=capacity, n_shards=1)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_contiguous_fill_and_straddle(spark):
+    got = _one_shard_rows(spark, [100, 300, 200, 50], capacity=512)
+    # cumsum-before: 0, 100, 400, 600
+    assert (got[0].bin_id, got[0].bin_offset, got[0].straddles) == (0, 0, False)
+    assert (got[1].bin_id, got[1].bin_offset, got[1].straddles) == (0, 100, False)
+    # doc 2 spans 400..599 -> crosses the 512 boundary
+    assert (got[2].bin_id, got[2].bin_offset, got[2].straddles) == (0, 400, True)
+    assert (got[3].bin_id, got[3].bin_offset, got[3].straddles) == (1, 88, False)
+
+
+def test_doc_longer_than_capacity_always_straddles(spark):
+    got = _one_shard_rows(spark, [600], capacity=512)
+    assert got[0].straddles and got[0].bin_id == 0
+
+
+def test_empty_doc_occupies_no_space(spark):
+    rows = [(0, "a b c"), (1, ""), (2, "d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           pack_sequences(df, capacity=4, n_shards=1).collect()}
+    assert got[1].n_tokens == 0 and not got[1].straddles
+    # doc 2 starts right where doc 0's 3 tokens ended
+    assert (got[2].bin_id, got[2].bin_offset) == (0, 3)
+
+
+def test_shards_are_deterministic_and_complete(spark, sf_docs):
+    a = pack_sequences(sf_docs, n_shards=16).collect()
+    b = pack_sequences(sf_docs, n_shards=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == sf_docs.count()
+    assert {r.shard for r in a} <= set(range(16))
+
+
+def test_window_is_sharded_not_global(spark, sf_docs):
+    from tests.test_plans import plan_of
+
+    p = plan_of(pack_sequences(sf_docs, n_shards=16))
+    # the window exchange must key on shard — a global-order packing
+    # would show Exchange SinglePartition feeding the Window
+    assert "Exchange hashpartitioning(shard" in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_works_on_sf_corpus_bins_monotone(spark, sf_docs):
+    rows = pack_sequences(sf_docs, capacity=512, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        # bin ids never decrease along the fill order
+        bins = [r.bin_id for r in shard_rows]
+        assert bins == sorted(bins)
