@@ -364,6 +364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_redact_stats"] = _redact_stats
+    q["emb_rp_project"] = lambda s, d: similarity.rp_project(
+        _emb(s, d), in_dim=64, out_dim=8
+    )
     q["doc_pack_sequences"] = lambda s, d: packing.pack_sequences(
         _docs(s, d), capacity=PACK_CAP, n_shards=PACK_SHARDS
     )
@@ -639,6 +642,9 @@ def oracle_sql() -> dict[str, str]:
     o["doc_redact_stats"] = oracle.redact_stats_sql(redact.REDACTIONS)
     o["doc_corpus_stats"] = oracle.corpus_stats_sql()
     o["doc_pack_sequences"] = oracle.pack_sequences_sql(PACK_CAP, PACK_SHARDS)
+    o["emb_rp_project"] = oracle.rp_project_sql(
+        similarity._hyperplanes(64, 8, 13), out_dim=8
+    )
     o["doc_token_counts"] = oracle.token_counts_sql(text_analysis.BPEISH_PATTERN)
     o["doc_quality_features"] = oracle.quality_sql(text_analysis.STOPWORDS)
     o["doc_lang_id"] = oracle.lang_id_sql(text_analysis.LANG_MARKERS)

@@ -309,3 +309,40 @@ def lsh_topk(
     bucketed = df.withColumn("bucket", bucket_expr(vec_col, planes))
     cand = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
     return brute_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def rp_project(
+    df: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: embed ``in_dim``
+    vectors into ``out_dim`` via deterministic Gaussian directions
+    (the same seeded ``_hyperplanes`` the sign-LSH uses), scaled
+    1/sqrt(out_dim) so expected pairwise distances are preserved.
+
+    The cheap first stage of every embedding pipeline at scale —
+    shrink 100 TB of float vectors before clustering/ANN.  Pure
+    per-row zip_with+aggregate folds (one per output dim), so the
+    projection rides the scan: no shuffle, no UDF, whole-stage
+    codegen.  Output dims are rounded to 6dp — the repo's float-oracle
+    rule; the fold and DuckDB's list_dot_product sum left-to-right
+    identically (proven by the green emb/ANN oracles).
+
+    Output columns: id, rp_0 .. rp_{out_dim-1} (double).
+    """
+    import math
+
+    planes = _hyperplanes(in_dim, out_dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    scale = 1.0 / math.sqrt(out_dim)
+    cols = [
+        F.round(
+            dot_expr(v, F.array(*[F.lit(float(x)) for x in h])) * scale, 6
+        ).alias(f"rp_{j}")
+        for j, h in enumerate(planes)
+    ]
+    return df.select(F.col(id_col), *cols)

@@ -524,6 +524,25 @@ LIMIT {k}
 """
 
 
+def rp_project_sql(planes, out_dim: int) -> str:
+    """Random-projection twin: the Gaussian directions depend only on
+    (dim, seed) — embedded as literals, DuckDB recomputes every
+    projected coordinate itself (list_dot_product sums left-to-right
+    like the Spark fold)."""
+    import math
+
+    scale = repr(1.0 / math.sqrt(out_dim))
+    cols = []
+    for j, h in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in h) + "]"
+        cols.append(
+            f"round(list_dot_product(embedding::DOUBLE[], {lit}) * {scale}, 6)"
+            f" AS rp_{j}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"SELECT vec_id,\n       {sel}\nFROM embeddings"
+
+
 def ivf_topk_sql(centroids, probes: list[int], query_vec_id: int, k: int) -> str:
     """Independent DuckDB twin of similarity.ivf_topk: centroids are
     deterministic given the data (seeded k-means over the lowest-id

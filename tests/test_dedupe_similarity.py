@@ -283,3 +283,36 @@ def test_bucket_count_bounded(sf_emb):
     x = b.groupBy("bucket").count().orderBy("bucket").collect()
     y = S.random_hyperplane_buckets(sf_emb, bits=8).groupBy("bucket").count().orderBy("bucket").collect()
     assert x == y
+
+
+def test_rp_project_preserves_distances_loosely(spark, sf_emb):
+    """JL sanity on real vectors: squared distances in the projected
+    space track the originals in aggregate (loose 2x band — out_dim=8
+    is aggressive; the point is catching a broken projection, scale
+    bug, or non-determinism, not proving JL)."""
+    import numpy as np
+
+    pdf = sf_emb.limit(40).toPandas()
+    proj = {r.vec_id: [r[f"rp_{j}"] for j in range(8)]
+            for r in S.rp_project(sf_emb.limit(40)).collect()}
+    orig = {v: np.array(e, dtype=float) for v, e in
+            zip(pdf.vec_id, pdf.embedding)}
+    ratios = []
+    ids = sorted(orig)
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d_o = float(np.sum((orig[a] - orig[b]) ** 2))
+        d_p = float(np.sum((np.array(proj[a]) - np.array(proj[b])) ** 2))
+        if d_o > 0:
+            ratios.append(d_p / d_o)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.5 < mean_ratio < 2.0
+
+
+def test_rp_project_deterministic_and_shuffle_free(spark, sf_emb):
+    from tests.test_plans import plan_of
+
+    a = S.rp_project(sf_emb).collect()
+    b = S.rp_project(sf_emb).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert "Exchange" not in plan_of(S.rp_project(sf_emb))
