@@ -128,3 +128,71 @@ def test_conv_features_blocked_equals_plain_property(rows):
         return sorted(rows_)
 
     assert norm(conv_features_salted(df, block_size=4)) == norm(conv_features(df))
+
+
+# ---------------------------------------------------------------------------
+# packing vs a pure-Python sequential model
+# ---------------------------------------------------------------------------
+@given(
+    toks=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    capacity=st.sampled_from([8, 32, 512]),
+)
+@settings(max_examples=8, deadline=None)
+def test_packing_matches_sequential_model(toks, capacity):
+    from log_aggregation_pipeline_spark.operators.packing import pack_sequences
+
+    spark = _get_spark()
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           pack_sequences(df, capacity=capacity, n_shards=1).collect()}
+
+    before = 0
+    for i, n in enumerate(toks):
+        r = got[i]
+        assert r.n_tokens == n
+        assert r.bin_id == before // capacity
+        assert r.bin_offset == before % capacity
+        expect_straddle = n > 0 and (before + n - 1) // capacity > before // capacity
+        assert r.straddles == expect_straddle
+        before += n
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a union-find reference
+# ---------------------------------------------------------------------------
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1, max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es)),
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_match_union_find(edges):
+    from log_aggregation_pipeline_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    spark = _get_spark()
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expect = {}
+    for n in nodes:
+        comp = min(m for m in nodes if find(m) == find(n))
+        expect[n] = comp
+    assert got == expect
