@@ -364,11 +364,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_redact_stats"] = _redact_stats
+    q["doc_top_ngrams"] = lambda s, d: text_analysis.top_ngrams(
+        _docs(s, d), k=JACCARD_K, top=20
+    )
     q["emb_rp_project"] = lambda s, d: similarity.rp_project(
         _emb(s, d), in_dim=64, out_dim=8
     )
     q["doc_pack_sequences"] = lambda s, d: packing.pack_sequences(
         _docs(s, d), capacity=PACK_CAP, n_shards=PACK_SHARDS
+    )
+    q["doc_pack_segments"] = lambda s, d: packing.split_straddlers(
+        packing.pack_sequences(_docs(s, d), capacity=PACK_CAP,
+                               n_shards=PACK_SHARDS),
+        capacity=PACK_CAP,
     )
     q["doc_corpus_stats"] = lambda s, d: text_analysis.corpus_stats(
         _docs(s, d)
@@ -642,6 +650,8 @@ def oracle_sql() -> dict[str, str]:
     o["doc_redact_stats"] = oracle.redact_stats_sql(redact.REDACTIONS)
     o["doc_corpus_stats"] = oracle.corpus_stats_sql()
     o["doc_pack_sequences"] = oracle.pack_sequences_sql(PACK_CAP, PACK_SHARDS)
+    o["doc_pack_segments"] = oracle.pack_segments_sql(PACK_CAP, PACK_SHARDS)
+    o["doc_top_ngrams"] = oracle.top_ngrams_sql(JACCARD_K, top=20)
     o["emb_rp_project"] = oracle.rp_project_sql(
         similarity._hyperplanes(64, 8, 13), out_dim=8
     )

@@ -68,3 +68,32 @@ def pack_sequences(
             > F.floor(before / capacity)
         ).alias("straddles"),
     )
+
+
+def split_straddlers(packed: DataFrame, capacity: int = 512) -> DataFrame:
+    """Expand packing assignments into per-bin SEGMENTS — the "split"
+    policy for straddling docs: a doc spanning bins [b0..b1] yields one
+    row per bin with doc-relative token offsets [tok_start, tok_end),
+    so a loader can slice each doc's tokens straight into its bins.
+
+    Pure projection + explode over ``sequence(first_bin, last_bin)``
+    (bounded by ceil(n_tokens/capacity)+1 segments per doc — no
+    shuffle on top of ``pack_sequences``).  Zero-token docs occupy no
+    space and emit no segments."""
+    abs_start = F.col("bin_id").cast("long") * capacity + F.col("bin_offset")
+    abs_end = abs_start + F.col("n_tokens")  # exclusive
+    last_bin = F.floor((abs_end - 1) / capacity).cast("int")
+    seg = F.explode(F.sequence(F.col("bin_id"), last_bin)).alias("seg_bin")
+    with_seg = packed.filter(F.col("n_tokens") > 0).select(
+        "*", seg
+    )
+    seg_start = F.greatest(abs_start, F.col("seg_bin").cast("long") * capacity)
+    seg_end = F.least(abs_end, (F.col("seg_bin").cast("long") + 1) * capacity)
+    return with_seg.select(
+        packed.columns[0],  # id column
+        "shard",
+        F.col("seg_bin").alias("bin_id"),
+        (F.col("seg_bin") - F.col("bin_id")).cast("int").alias("seg_idx"),
+        (seg_start - abs_start).cast("int").alias("tok_start"),
+        (seg_end - abs_start).cast("int").alias("tok_end"),
+    )

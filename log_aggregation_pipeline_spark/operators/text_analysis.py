@@ -258,3 +258,34 @@ def corpus_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
         F.round(F.percentile("n_ws_tokens", F.lit(0.95)), 6).alias("p95_tokens"),
         F.round(F.sum("n_ws_tokens") / F.count("*"), 6).alias("mean_tokens"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    k: int = 3,
+    top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary stats: the ``top`` word-k-grams by DOCUMENT
+    frequency (distinct docs containing the gram — the quantity that
+    drives stop-shingle caps and contamination audits), ties broken by
+    the gram itself for a deterministic page.
+
+    Shape: shingle projection (explode_outer — see dedupe's
+    _explode_shingles note) -> one count shuffle keyed on the gram
+    (uniform content key) -> TakeOrderedAndProject for the global
+    top-k (no full sort).  Per-doc shingles are distinct by
+    construction, so count(*) IS document frequency."""
+    from log_aggregation_pipeline_spark.operators.dedupe import (
+        _explode_shingles,
+        _shingle_df,
+    )
+
+    ex = _explode_shingles(_shingle_df(df, k, text_col, id_col))
+    return (
+        ex.groupBy(F.col("_s").alias("ngram"))
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(top)
+    )

@@ -256,10 +256,9 @@ FROM toks GROUP BY {group_col}
 """
 
 
-def pack_sequences_sql(capacity: int, n_shards: int) -> str:
-    """Packing twin: shard from the md5 rank-key idiom, running cumsum
-    (rows unbounded-preceding to 1 preceding) per shard in doc_id
-    order, bin = cumsum div capacity."""
+def _pack_cte(n_shards: int) -> str:
+    """Shared packing CTEs: md5-idiom shard + per-shard running cumsum
+    (rows unbounded-preceding to 1 preceding) in doc_id order."""
     n_sql = (
         f"CASE WHEN {NORM_SQL} = '' THEN 0 "
         f"ELSE len(string_split({NORM_SQL}, ' ')) END"
@@ -278,13 +277,64 @@ c AS (
            PARTITION BY shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
   FROM toks
-)
+)"""
+
+
+def pack_sequences_sql(capacity: int, n_shards: int) -> str:
+    """Packing twin: bin = cumsum div capacity."""
+    return f"""{_pack_cte(n_shards)}
 SELECT doc_id, cast(shard AS INTEGER) AS shard, n_tokens,
        cast(before // {capacity} AS INTEGER) AS bin_id,
        cast(before % {capacity} AS INTEGER) AS bin_offset,
        ((before + n_tokens - 1) // {capacity}) > (before // {capacity})
          AS straddles
 FROM c
+"""
+
+
+def pack_segments_sql(capacity: int, n_shards: int) -> str:
+    """split_straddlers twin: one row per (doc, bin) segment with
+    doc-relative token offsets, via generate_series over the doc's
+    bin span."""
+    C = capacity
+    return f"""{_pack_cte(n_shards)},
+segs AS (
+  SELECT doc_id, shard, n_tokens, before,
+         unnest(generate_series(cast(before // {C} AS BIGINT),
+                cast((before + n_tokens - 1) // {C} AS BIGINT))) AS seg_bin
+  FROM c WHERE n_tokens > 0
+)
+SELECT doc_id,
+       cast(shard AS INTEGER) AS shard,
+       cast(seg_bin AS INTEGER) AS bin_id,
+       cast(seg_bin - before // {C} AS INTEGER) AS seg_idx,
+       cast(greatest(before, seg_bin * {C}) - before AS INTEGER) AS tok_start,
+       cast(least(before + n_tokens, (seg_bin + 1) * {C}) - before
+            AS INTEGER) AS tok_end
+FROM segs
+"""
+
+
+def top_ngrams_sql(k: int, top: int) -> str:
+    """Document-frequency top-k-grams twin (same shingle CTE family as
+    the jaccard oracle; per-doc shingles distinct, so count(*) is doc
+    frequency)."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ {gram} for i in range(1, len(t) - {k - 2}) ]) AS shingles
+  FROM toks WHERE len(t) >= {k}
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+SELECT s AS ngram, count(*) AS doc_freq
+FROM ex
+GROUP BY 1
+ORDER BY doc_freq DESC, ngram ASC
+LIMIT {top}
 """
 
 

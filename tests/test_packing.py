@@ -75,3 +75,50 @@ def test_works_on_sf_corpus_bins_monotone(spark, sf_docs):
         # bin ids never decrease along the fill order
         bins = [r.bin_id for r in shard_rows]
         assert bins == sorted(bins)
+
+
+def test_split_straddlers_partitions_each_doc(spark):
+    from log_aggregation_pipeline_spark.operators.packing import (
+        split_straddlers,
+    )
+
+    toks = [100, 300, 200, 50, 1200, 0]
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(df, capacity=512, n_shards=1)
+    segs = split_straddlers(packed, capacity=512).collect()
+
+    by_doc: dict[int, list] = {}
+    for s in segs:
+        by_doc.setdefault(s.doc_id, []).append(s)
+    # zero-token doc emits nothing
+    assert 5 not in by_doc
+    for doc_id, ss in by_doc.items():
+        ss.sort(key=lambda s: s.seg_idx)
+        # segments tile [0, n_tokens) without gaps or overlap
+        assert ss[0].tok_start == 0
+        for a, b in zip(ss, ss[1:]):
+            assert a.tok_end == b.tok_start
+            assert b.bin_id == a.bin_id + 1  # consecutive bins
+        assert ss[-1].tok_end == toks[doc_id]
+    # the 1200-token doc (cumsum-before 650) spans bins 1..3 -> 3 segs
+    assert len(by_doc[4]) == 3
+
+
+def test_split_straddlers_bin_capacity_never_exceeded(spark):
+    from log_aggregation_pipeline_spark.operators.packing import (
+        split_straddlers,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(df, capacity=128, n_shards=4)
+    segs = split_straddlers(packed, capacity=128).collect()
+    fill: dict[tuple, int] = {}
+    for s in segs:
+        fill[(s.shard, s.bin_id)] = fill.get((s.shard, s.bin_id), 0) + (
+            s.tok_end - s.tok_start
+        )
+    assert all(v <= 128 for v in fill.values())
+    # every bin except each shard's last is filled EXACTLY to capacity
+    last = {s: max(b for sh, b in fill if sh == s) for s, _ in fill}
+    assert all(v == 128 for (sh, b), v in fill.items() if b < last[sh])
