@@ -48,6 +48,7 @@ from log_aggregation_pipeline_spark.operators.parse import parse_kv
 from log_aggregation_pipeline_spark.operators.route import ROUTES, route_one
 from log_aggregation_pipeline_spark.operators.search_syntax import compile_query
 from log_aggregation_pipeline_spark.operators.transform import build_chain
+from log_aggregation_pipeline_spark.plans.corpus_prep import corpus_prep_funnel
 from log_aggregation_pipeline_spark.sources.transcripts import (
     transcripts_cte,
     transcripts_from_events,
@@ -364,6 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_redact_stats"] = _redact_stats
+    q["corpus_prep_funnel"] = lambda s, d: corpus_prep_funnel(
+        _docs(s, d), quality_min=1.0, decontam_k=DECONTAM_K, n_eval=N_EVAL
+    )
     q["doc_top_ngrams"] = lambda s, d: text_analysis.top_ngrams(
         _docs(s, d), k=JACCARD_K, top=20
     )
@@ -651,6 +655,9 @@ def oracle_sql() -> dict[str, str]:
     o["doc_corpus_stats"] = oracle.corpus_stats_sql()
     o["doc_pack_sequences"] = oracle.pack_sequences_sql(PACK_CAP, PACK_SHARDS)
     o["doc_pack_segments"] = oracle.pack_segments_sql(PACK_CAP, PACK_SHARDS)
+    o["corpus_prep_funnel"] = oracle.corpus_prep_sql(
+        text_analysis.STOPWORDS, quality_min=1.0, k=DECONTAM_K, n_eval=N_EVAL
+    )
     o["doc_top_ngrams"] = oracle.top_ngrams_sql(JACCARD_K, top=20)
     o["emb_rp_project"] = oracle.rp_project_sql(
         similarity._hyperplanes(64, 8, 13), out_dim=8

@@ -315,6 +315,46 @@ FROM segs
 """
 
 
+def corpus_prep_sql(
+    stopwords, quality_min: float, k: int, n_eval: int
+) -> str:
+    """Funnel twin: nests the quality and decontamination oracles as
+    subqueries (per-doc properties, so flag-then-intersect equals
+    filter-then-flag) around the keeper/eval CTEs."""
+    n_sql = (
+        f"CASE WHEN {NORM_SQL} = '' THEN 0 "
+        f"ELSE len(string_split({NORM_SQL}, ' ')) END"
+    )
+    return f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({NORM_SQL})
+),
+qual AS (
+  SELECT q.doc_id FROM ({quality_sql(stopwords)}) q
+  JOIN keep USING (doc_id)
+  WHERE q.quality_score >= {quality_min}
+),
+eval_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id LIMIT {n_eval}
+),
+cont AS (SELECT doc_id FROM ({decontaminate_sql(k, n_eval)})),
+clean AS (
+  SELECT d.doc_id, {n_sql} AS n
+  FROM documents d
+  JOIN qual USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM eval_ids)
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM keep) AS n_keepers,
+       (SELECT count(*) FROM qual) AS n_quality,
+       (SELECT count(*) FROM clean) AS n_clean,
+       (SELECT cast(coalesce(sum(n), 0) AS BIGINT) FROM clean)
+         AS clean_tokens
+"""
+
+
 def top_ngrams_sql(k: int, top: int) -> str:
     """Document-frequency top-k-grams twin (same shingle CTE family as
     the jaccard oracle; per-doc shingles distinct, so count(*) is doc

@@ -1,0 +1,74 @@
+"""Corpus-prep funnel: the training-data operators composed end-to-end.
+
+dedup keepers -> quality floor -> eval removal -> decontamination ->
+dataset totals: one DataFrame plan whose single-row report carries the
+count at each funnel stage plus the surviving token budget — the
+numbers a data lead reads before a training run.
+
+Composition notes (why this shape survives 100 TB):
+- every stage is one of the already-plan-audited operators (hash
+  groupBy dedup, codegen quality projection, broadcast-eval
+  decontamination), chained with left-semi/anti joins on doc_id —
+  uniform key, no new shuffle classes;
+- contamination is a PER-DOC property vs the eval set (independent of
+  other train docs), so flagging the full corpus and anti-joining the
+  filtered set is exactly equivalent to flagging the filtered set —
+  letting the decontam stage share one scan shape regardless of the
+  upstream filters;
+- the five funnel counts are independent single-row aggregates
+  crossJoined together (1x1 joins — free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from log_aggregation_pipeline_spark.operators.decontam import contaminated_docs
+from log_aggregation_pipeline_spark.operators.dedupe import exact_dedup_rows
+from log_aggregation_pipeline_spark.operators.text_analysis import (
+    quality_features,
+    whitespace_token_count,
+)
+
+
+def corpus_prep_funnel(
+    docs: DataFrame,
+    quality_min: float = 1.0,
+    decontam_k: int = 5,
+    n_eval: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Single-row funnel report:
+    (n_docs, n_keepers, n_quality, n_clean, clean_tokens)."""
+    ids = F.col(id_col)
+    keepers = exact_dedup_rows(docs, text_col=text_col, id_col=id_col)
+    qual = quality_features(keepers, text_col=text_col).filter(
+        F.col("quality_score") >= quality_min
+    )
+    ev = docs.orderBy(F.md5(ids.cast("string")), id_col).limit(n_eval)
+    flagged = contaminated_docs(
+        docs.join(ev.select(id_col), id_col, "left_anti"),
+        ev,
+        k=decontam_k,
+        text_col=text_col,
+        id_col=id_col,
+    ).select(id_col)
+    clean = (
+        qual.join(ev.select(id_col), id_col, "left_anti")
+        .join(flagged, id_col, "left_anti")
+    )
+    return (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(keepers.agg(F.count("*").alias("n_keepers")))
+        .crossJoin(qual.agg(F.count("*").alias("n_quality")))
+        .crossJoin(
+            clean.agg(
+                F.count("*").alias("n_clean"),
+                F.coalesce(
+                    F.sum(whitespace_token_count(text_col)), F.lit(0)
+                ).cast("long").alias("clean_tokens"),
+            )
+        )
+    )
