@@ -100,6 +100,32 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization — the continuous twin of the batch
+    ``operators.order.sessionize`` gap rule, via Spark's native
+    ``session_window``: a conversation's turns merge into one session
+    while consecutive gaps stay under ``gap``; the window closes (and
+    emits, in append mode) once the watermark passes its end.  Same
+    30-minute-gap semantics, but with bounded state: the store holds
+    only OPEN sessions per conv_id, and the watermark is the
+    session-finalization horizon the batch form doesn't need."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     text_col: str = "text",

@@ -166,3 +166,57 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
 
     got = sorted(r.id for r in spark.read.parquet(out_dir).collect())
     assert got == ["a", "b", "d"]  # c deduped against a, across batches
+
+
+def test_session_counts_match_batch_sessionize(spark, tmp_path):
+    """Streaming session_window ≡ batch sessionize on the same data:
+    same session count per conv, same per-session turn counts, with
+    sessions split across micro-batches."""
+    import datetime as dt
+
+    from log_aggregation_pipeline_spark.operators.order import sessionize
+    from log_aggregation_pipeline_spark.streaming.stream import session_counts
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # conv A: turns at 0,5,10 then a 40-min gap -> second session 50,55
+        ("A", 0, t0), ("A", 1, t0 + 5 * m), ("A", 2, t0 + 10 * m),
+        ("A", 3, t0 + 50 * m), ("A", 4, t0 + 55 * m),
+        # conv B: one session
+        ("B", 0, t0 + 2 * m), ("B", 1, t0 + 20 * m),
+    ]
+    schema = "conv_id string, turn_idx int, ts timestamp"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    # batch 1: both convs' early turns; batch 2 extends conv A past the
+    # gap, advancing the watermark over the first session's end
+    batch1 = [rows[0], rows[1], rows[2], rows[5], rows[6]]
+    batch2 = [rows[3], rows[4]]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (session_counts(stream, watermark="5 minutes")
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = sorted(
+        (r.conv_id, r.n_turns)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    batch = sessionize(spark.createDataFrame(rows, schema))
+    exp = sorted(
+        (r.conv_id, r.n)
+        for r in batch.groupBy("conv_id", "session_id")
+        .agg(F.count("*").alias("n")).collect()
+    )
+    # append mode emits only watermark-closed sessions; the final
+    # sessions may be held open, so compare the closed subset
+    assert set(got) <= set(exp)
+    assert ("A", 3) in got  # conv A's first session closed by the gap
