@@ -249,6 +249,16 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         # includes its jaccard pair-source sub-plan + CC iterations
         timed("doc_dup_clusters", lambda: noop(dup_clusters(
             ngram_jaccard_pairs(docs, max_shingle_freq=1000))))
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            top_ngrams,
+        )
+        from log_aggregation_pipeline_spark.plans.corpus_prep import (
+            corpus_prep_funnel,
+        )
+
+        timed("doc_top_ngrams", lambda: noop(top_ngrams(docs)))
+        # composed dedup+quality+decontam funnel — the multi-op plan
+        timed("corpus_prep_funnel", lambda: noop(corpus_prep_funnel(docs)))
 
     spark.stop()
     total = round(sum(timings.values()), 4)
