@@ -108,6 +108,48 @@ class HourPartitionedTable:
                 dropped.append(d.split("=", 1)[1])
         return dropped
 
+    # -- maintenance: small-file compaction ------------------------------
+    def compact(
+        self, target_rows_per_file: int = 1_000_000, min_files: int = 2
+    ) -> dict[str, int]:
+        """Rewrite fragmented hour partitions into few right-sized
+        files — the maintenance op every append-heavy store needs
+        (each micro-batch/append lands its own file; thousands of tiny
+        files turn scans into metadata storms).  Iceberg calls this
+        rewrite_data_files; on the hive layout it is a per-partition
+        rewrite + directory swap.
+
+        Per partition with >= ``min_files`` data files: read, coalesce
+        to ceil(rows/target_rows_per_file) files, write beside the
+        live dir, then swap via two renames.  A crash between the
+        renames can leave the partition momentarily absent — this is a
+        single-writer MAINTENANCE op (run it like retention, from one
+        scheduler slot), not the pipeline's crash-safe manifest sink.
+        Healthy partitions cost one listdir.  The driver loop is
+        control flow; each rewrite is a distributed job, and partitions
+        are independent — at very large partition counts run batches
+        of them from a thread pool.
+
+        Returns {hour_key: n_files_before} for compacted partitions."""
+        import math
+
+        done: dict[str, int] = {}
+        for hk in self.hours():
+            pdir = os.path.join(self.path, f"hour_key={hk}")
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if len(files) < min_files:
+                continue
+            df = self.spark.read.parquet(pdir)
+            n_out = max(1, math.ceil(df.count() / target_rows_per_file))
+            tmp = pdir + "._compact_tmp"
+            df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            old = pdir + "._compact_old"
+            os.rename(pdir, old)
+            os.rename(tmp, pdir)
+            shutil.rmtree(old, ignore_errors=True)
+            done[hk] = len(files)
+        return done
+
     def hours(self) -> list[str]:
         if not os.path.isdir(self.path):
             return []

@@ -85,3 +85,46 @@ def test_bloom_filter_point_lookup(spark, transcripts, tmp_path):
     assert "id" in plan.split("PushedFilters:")[1].split("]")[0]
     rows = got.collect()
     assert len(rows) == 1 and rows[0]["conv_id"] == some.conv_id
+
+
+def test_compact_merges_small_files_preserving_rows(spark, transcripts, tmp_path):
+    """Three appends fragment each hour partition into 3 files;
+    compact() rewrites them to 1, keeping rows, schema, pruning and
+    untouched (healthy) partitions intact."""
+    import glob
+    import os
+
+    table = HourPartitionedTable(spark, str(tmp_path / "tc"))
+    third = transcripts.count() // 3
+    parts = [
+        transcripts.orderBy("conv_id", "turn_idx").limit(third),
+        transcripts.orderBy("conv_id", "turn_idx").offset(third).limit(third),
+        transcripts.orderBy("conv_id", "turn_idx").offset(2 * third),
+    ]
+    for p in parts:
+        table.write(p)
+
+    key = ["conv_id", "turn_idx"]
+    before = spark.read.parquet(table.path)
+    a = sorted(map(tuple, before.select(*key).collect()))
+    n_before = len(a)
+    hours = table.hours()
+    frag = {
+        hk: len(glob.glob(os.path.join(table.path, f"hour_key={hk}", "*.parquet")))
+        for hk in hours
+    }
+    assert any(v >= 2 for v in frag.values())
+
+    done = table.compact(target_rows_per_file=10_000_000, min_files=2)
+    assert set(done) == {hk for hk, v in frag.items() if v >= 2}
+
+    after = spark.read.parquet(table.path)
+    assert after.count() == n_before
+    for hk in done:
+        files = glob.glob(os.path.join(table.path, f"hour_key={hk}", "*.parquet"))
+        assert len(files) == 1
+    # second pass is a no-op: everything already compacted
+    assert table.compact(target_rows_per_file=10_000_000, min_files=2) == {}
+    # content identical, not just counts
+    b = sorted(map(tuple, after.select(*key).collect()))
+    assert a == b
