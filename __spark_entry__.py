@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from log_aggregation_pipeline_spark import oracle
 from log_aggregation_pipeline_spark.operators import (
+    anomaly,
     cluster,
     decontam,
     dedupe,
@@ -365,6 +366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_redact_stats"] = _redact_stats
+    q["events_spike_detection"] = lambda s, d: anomaly.spike_detection(
+        s.read.parquet(f"{d}/events.parquet")
+    )
     q["corpus_prep_funnel"] = lambda s, d: corpus_prep_funnel(
         _docs(s, d), quality_min=1.0, decontam_k=DECONTAM_K, n_eval=N_EVAL
     )
@@ -655,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_corpus_stats"] = oracle.corpus_stats_sql()
     o["doc_pack_sequences"] = oracle.pack_sequences_sql(PACK_CAP, PACK_SHARDS)
     o["doc_pack_segments"] = oracle.pack_segments_sql(PACK_CAP, PACK_SHARDS)
+    o["events_spike_detection"] = oracle.spike_detection_sql()
     o["corpus_prep_funnel"] = oracle.corpus_prep_sql(
         text_analysis.STOPWORDS, quality_min=1.0, k=DECONTAM_K, n_eval=N_EVAL
     )

@@ -315,6 +315,43 @@ FROM segs
 """
 
 
+def spike_detection_sql(
+    window_hours: int = 24, z_thresh: float = 3.0, min_history: int = 6
+) -> str:
+    """Spike twin: identical exact-integer window sums and double
+    formula (no built-in stddev — engines differ in the last ulps);
+    trailing RANGE frame on epoch seconds."""
+    secs = window_hours * 3600
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
+         epoch(date_trunc('hour', ts))::BIGINT AS ep
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, bucket, n,
+    cast(sum(n) OVER w AS BIGINT) AS sum_n,
+    cast(sum(n * n) OVER w AS BIGINT) AS sum_sq,
+    count(n) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY ep
+               RANGE BETWEEN {secs} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, bucket, n, cnt,
+    (cast(sum_sq AS DOUBLE) - cast(sum_n AS DOUBLE) * sum_n / cnt)
+      / (cnt - 1) AS var,
+    round((n - cast(sum_n AS DOUBLE) / cnt)
+          / sqrt((cast(sum_sq AS DOUBLE) - cast(sum_n AS DOUBLE) * sum_n / cnt)
+                 / (cnt - 1)), 6) AS z_score
+  FROM win
+)
+SELECT event_type, bucket, n, z_score, z_score > {z_thresh} AS is_spike
+FROM scored
+WHERE cnt >= {min_history} AND var > 0
+"""
+
+
 def corpus_prep_sql(
     stopwords, quality_min: float, k: int, n_eval: int
 ) -> str:
