@@ -327,9 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     def _decontaminate(s, d):
         docs = _docs(s, d)
-        ev = docs.orderBy(
-            F.md5(F.col("doc_id").cast("string")), "doc_id"
-        ).limit(N_EVAL)
+        ev = decontam.eval_split(docs, N_EVAL)
         train = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
         return decontam.contaminated_docs(train, ev, k=DECONTAM_K)
 

@@ -241,8 +241,11 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         timed("doc_corpus_stats", lambda: noop(corpus_stats(docs)))
         timed("doc_redact", lambda: noop(redact(docs).select(
             "doc_id", "n_email", "n_ipv4", "n_secret", "redacted")))
-        ev = docs.orderBy(F.md5(F.col("doc_id").cast("string")),
-                          "doc_id").limit(200)
+        from log_aggregation_pipeline_spark.operators.decontam import (
+            eval_split,
+        )
+
+        ev = eval_split(docs, 200)
         train = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
         timed("doc_decontaminate", lambda: noop(
             contaminated_docs(train, ev, k=5)))

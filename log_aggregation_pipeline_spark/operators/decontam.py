@@ -25,6 +25,17 @@ from log_aggregation_pipeline_spark.operators.dedupe import (
 )
 
 
+def eval_split(df: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic md5-ranked eval slice — the engine-portable split
+    idiom (same rank key as operators.sampling).  The single shared
+    implementation: the driver queries, the corpus-prep funnel and the
+    bench all call THIS, and the DuckDB oracles' eval_ids CTE mirrors
+    it verbatim — edit both together or the oracle gate flips."""
+    return df.orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    ).limit(n)
+
+
 def contaminated_docs(
     train: DataFrame,
     eval_df: DataFrame,

@@ -150,6 +150,13 @@ FROM g GROUP BY conv_id
 # and constants mirror the Spark expressions exactly.
 # ---------------------------------------------------------------------------
 NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+# DuckDB twin of text_analysis.whitespace_token_count — ONE definition;
+# five oracle builders share it, and drift in any copy would break one
+# oracle while the others stay green
+N_TOKENS_SQL = (
+    f"CASE WHEN {NORM_SQL} = '' THEN 0 "
+    f"ELSE len(string_split({NORM_SQL}, ' ')) END"
+)
 
 
 def exact_dedup_groups_sql() -> str:
@@ -238,10 +245,7 @@ def corpus_stats_sql(group_col: str = "source") -> str:
     """Per-group composition twin.  ``quantile_cont`` is DuckDB's
     interpolated quantile — the same definition as Spark's exact
     ``percentile`` (linear at rank (n-1)*p)."""
-    n_sql = (
-        f"CASE WHEN {NORM_SQL} = '' THEN 0 "
-        f"ELSE len(string_split({NORM_SQL}, ' ')) END"
-    )
+    n_sql = N_TOKENS_SQL
     return f"""
 WITH toks AS (SELECT {group_col}, {n_sql} AS n FROM documents)
 SELECT {group_col},
@@ -259,10 +263,7 @@ FROM toks GROUP BY {group_col}
 def _pack_cte(n_shards: int) -> str:
     """Shared packing CTEs: md5-idiom shard + per-shard running cumsum
     (rows unbounded-preceding to 1 preceding) in doc_id order."""
-    n_sql = (
-        f"CASE WHEN {NORM_SQL} = '' THEN 0 "
-        f"ELSE len(string_split({NORM_SQL}, ' ')) END"
-    )
+    n_sql = N_TOKENS_SQL
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -358,10 +359,7 @@ def corpus_prep_sql(
     """Funnel twin: nests the quality and decontamination oracles as
     subqueries (per-doc properties, so flag-then-intersect equals
     filter-then-flag) around the keeper/eval CTEs."""
-    n_sql = (
-        f"CASE WHEN {NORM_SQL} = '' THEN 0 "
-        f"ELSE len(string_split({NORM_SQL}, ' ')) END"
-    )
+    n_sql = N_TOKENS_SQL
     return f"""
 WITH keep AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({NORM_SQL})
@@ -482,8 +480,7 @@ FROM aug
 def token_counts_sql(bpeish_pattern: str) -> str:
     return f"""
 SELECT doc_id,
-  CASE WHEN {NORM_SQL} = '' THEN 0
-       ELSE len(string_split({NORM_SQL}, ' ')) END AS n_ws_tokens,
+  {N_TOKENS_SQL} AS n_ws_tokens,
   len(regexp_extract_all(text, '{bpeish_pattern}')) AS n_bpeish_tokens
 FROM documents
 """
@@ -495,8 +492,7 @@ def quality_sql(stopwords: tuple[str, ...]) -> str:
 WITH base AS (
   SELECT doc_id,
     length(text) AS n_chars_m,
-    CASE WHEN {NORM_SQL} = '' THEN 0
-         ELSE len(string_split({NORM_SQL}, ' ')) END AS n_tokens,
+    {N_TOKENS_SQL} AS n_tokens,
     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
     len(list_filter(string_split({NORM_SQL}, ' '), x -> x IN ({stop_list}))) AS n_stop

@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from log_aggregation_pipeline_spark.operators.decontam import contaminated_docs
+from log_aggregation_pipeline_spark.operators.decontam import (
+    contaminated_docs,
+    eval_split,
+)
 from log_aggregation_pipeline_spark.operators.dedupe import exact_dedup_rows
 from log_aggregation_pipeline_spark.operators.text_analysis import (
     quality_features,
@@ -42,12 +45,11 @@ def corpus_prep_funnel(
 ) -> DataFrame:
     """Single-row funnel report:
     (n_docs, n_keepers, n_quality, n_clean, clean_tokens)."""
-    ids = F.col(id_col)
     keepers = exact_dedup_rows(docs, text_col=text_col, id_col=id_col)
     qual = quality_features(keepers, text_col=text_col).filter(
         F.col("quality_score") >= quality_min
     )
-    ev = docs.orderBy(F.md5(ids.cast("string")), id_col).limit(n_eval)
+    ev = eval_split(docs, n_eval, id_col)
     flagged = contaminated_docs(
         docs.join(ev.select(id_col), id_col, "left_anti"),
         ev,

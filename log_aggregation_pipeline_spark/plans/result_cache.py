@@ -90,13 +90,40 @@ class ResultCache:
         with open(p) as f:
             return json.load(f)
 
-    def _next_seq(self) -> int:
+    # -- commit clock ---------------------------------------------------
+    # A single persisted counter (<dir>/_seq) is the cache's commit
+    # clock: ticked on EVERY commit, including one that replaces or
+    # re-commits the highest-seq entry — deriving the clock from
+    # max(manifest seq) instead would stall it in exactly that case
+    # (remove-then-recommit reuses the number), undercounting
+    # ttl_commits age for every other entry.  It also makes the age
+    # check one file read instead of an O(entries) manifest sweep per
+    # lookup.  Single-writer, like the rest of the commit protocol.
+    def _seq_path(self) -> str:
+        return os.path.join(self.dir, "_seq")
+
+    def _clock(self) -> int:
+        """Commit count so far (0 for a fresh cache).  Migrates a
+        pre-counter cache dir by deriving from existing manifests."""
+        p = self._seq_path()
+        if os.path.isfile(p):
+            with open(p) as f:
+                return int(f.read())
         seqs = [
             m["seq"]
             for k in os.listdir(self.dir)
             if (m := self._manifest(k)) is not None
         ]
-        return max(seqs, default=0) + 1
+        return max(seqs, default=0)
+
+    def _tick(self) -> int:
+        """Advance the clock; returns the new commit's seq."""
+        c = self._clock() + 1
+        tmp = os.path.join(self.dir, "_tmp_seq")
+        with open(tmp, "w") as f:
+            f.write(str(c))
+        os.replace(tmp, self._seq_path())
+        return c
 
     def lookup(self, spec: dict | str, version: str) -> DataFrame | None:
         """Committed result for (spec, version), else None.  Misses on
@@ -110,7 +137,7 @@ class ResultCache:
         if m is None or m["version"] != version:
             return None
         ttl = m.get("ttl", self.ttl_commits)
-        if ttl is not None and (self._next_seq() - 1) - m["seq"] > ttl:
+        if ttl is not None and self._clock() - m["seq"] > ttl:
             return None
         data = os.path.join(self._entry(key), "data")
         if not os.path.isdir(data):
@@ -170,7 +197,7 @@ class ResultCache:
         ttl = self.ttl_commits if ttl_commits is None else ttl_commits
         with open(man_tmp, "w") as f:
             json.dump(
-                {"version": version, "seq": self._next_seq(), "key": key,
+                {"version": version, "seq": self._tick(), "key": key,
                  "ttl": ttl},
                 f,
             )

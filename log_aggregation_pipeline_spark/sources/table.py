@@ -136,14 +136,20 @@ class HourPartitionedTable:
         done: dict[str, int] = {}
         for hk in self.hours():
             pdir = os.path.join(self.path, f"hour_key={hk}")
+            # scratch dirs live OUTSIDE the hour_key= namespace with a
+            # leading underscore: Spark's file index skips _-prefixed
+            # paths, hours()/expire() prefix-match only hour_key=, and
+            # a crash can never leave scratch readable as a partition
+            tmp = os.path.join(self.path, f"_compact_tmp_{hk}")
+            old = os.path.join(self.path, f"_compact_old_{hk}")
+            shutil.rmtree(tmp, ignore_errors=True)  # stale crash debris
+            shutil.rmtree(old, ignore_errors=True)
             files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
             if len(files) < min_files:
                 continue
             df = self.spark.read.parquet(pdir)
             n_out = max(1, math.ceil(df.count() / target_rows_per_file))
-            tmp = pdir + "._compact_tmp"
             df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-            old = pdir + "._compact_old"
             os.rename(pdir, old)
             os.rename(tmp, pdir)
             shutil.rmtree(old, ignore_errors=True)

@@ -122,8 +122,21 @@ def start_udp_receiver(
     bound = sock.getsockname()[1]
     stop = threading.Event()
 
+    # resume the spool index past existing files: restarting at 0 with
+    # a persistent drop_dir would os.replace over an unread datagram
+    # AND hide the new one (Spark's file source never re-reads a path
+    # it has seen)
+    start_i = 1 + max(
+        (
+            int(f[len("dgram_"):-len(".log")])
+            for f in os.listdir(drop_dir)
+            if f.startswith("dgram_") and f.endswith(".log")
+        ),
+        default=-1,
+    )
+
     def run():
-        i = 0
+        i = start_i
         while not stop.is_set():
             try:
                 data, _ = sock.recvfrom(65536)  # 64 KiB, syslog.go:96

@@ -178,3 +178,30 @@ def test_socket_syslog_ingress(spark, tmp_path):
     assert str(by_level["INFO"].parsed_ts) == "2024-01-05 10:15:02"
     # content-derived ids: stable across replays
     assert len({r.id for r in rows}) == len(LINES)
+
+
+def test_udp_receiver_resumes_spool_index(tmp_path):
+    """Restarting the receiver over a persistent drop_dir must continue
+    past existing spool files: reusing dgram_000000.log would destroy
+    an unread datagram AND hide the new one (the file source never
+    re-reads a seen path)."""
+    from log_aggregation_pipeline_spark.streaming.ingress import (
+        start_udp_receiver,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "dgram_000003.log").write_text("old datagram\n")
+
+    port, stop, _t = start_udp_receiver(str(drop))
+    cli = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        cli.sendto(b"fresh datagram", ("127.0.0.1", port))
+        deadline = time.time() + 10
+        while time.time() < deadline and not (drop / "dgram_000004.log").exists():
+            time.sleep(0.05)
+    finally:
+        cli.close()
+        stop.set()
+    assert (drop / "dgram_000004.log").read_text() == "fresh datagram\n"
+    assert (drop / "dgram_000003.log").read_text() == "old datagram\n"

@@ -163,4 +163,21 @@ def test_eviction_is_lru_by_commit_seq(spark, tmp_path):
     assert cache.lookup({"q": "q0"}, "v") is None  # oldest evicted
     assert cache.lookup({"q": "q1"}, "v") is not None
     assert cache.lookup({"q": "q2"}, "v") is not None
-    assert len(os.listdir(cache.dir)) == 2
+    entries = [d for d in os.listdir(cache.dir) if not d.startswith("_")]
+    assert len(entries) == 2  # _seq clock file is not an entry
+
+
+def test_recommitting_newest_entry_still_ages_others(spark, tmp_path):
+    """Regression: the commit clock must tick on EVERY commit.  Deriving
+    it from max(manifest seq) stalls when the HIGHEST-seq entry is
+    replaced (remove-then-recommit reuses the number), so other
+    entries' ttl_commits age is undercounted."""
+    cache = ResultCache(spark, str(tmp_path / "rc"), ttl_commits=1)
+    a, b = {"q": "a"}, {"q": "b"}
+    cache.get_or_compute(a, "v", lambda: _df(spark, 1))   # commit 1
+    cache.get_or_compute(b, "v1", lambda: _df(spark, 2))  # commit 2
+    # b's input advances -> recompute b (the newest entry) -> commit 3
+    cache.get_or_compute(b, "v2", lambda: _df(spark, 3))
+    # 2 commits have happened since a was written: past ttl_commits=1
+    assert cache.lookup(a, "v") is None
+    assert cache.lookup(b, "v2") is not None

@@ -128,3 +128,29 @@ def test_compact_merges_small_files_preserving_rows(spark, transcripts, tmp_path
     # content identical, not just counts
     b = sorted(map(tuple, after.select(*key).collect()))
     assert a == b
+
+
+def test_compact_scratch_never_readable_and_debris_cleaned(spark, transcripts, tmp_path):
+    """Crash debris from a dead compaction (_compact_old/_tmp dirs) is
+    invisible to readers (outside the hour_key= namespace, _-prefixed)
+    and cleaned up by the next compact() instead of wedging it."""
+    import os
+
+    table = HourPartitionedTable(spark, str(tmp_path / "td"))
+    table.write(transcripts)
+    table.write(transcripts.limit(10))  # fragment at least one partition
+    hk = table.hours()[0]
+    # simulate a crash that left both scratch dirs behind
+    for d in (f"_compact_tmp_{hk}", f"_compact_old_{hk}"):
+        p = os.path.join(table.path, d)
+        os.makedirs(p)
+        with open(os.path.join(p, "junk.parquet"), "w") as f:
+            f.write("not parquet")
+    # debris is not a partition: hours() clean, reads fine
+    assert all("_compact" not in h for h in table.hours())
+    n = spark.read.parquet(table.path).count()
+    done = table.compact(target_rows_per_file=10_000_000, min_files=2)
+    assert hk in done or done  # the fragmented partition compacts
+    assert spark.read.parquet(table.path).count() == n
+    assert not os.path.isdir(os.path.join(table.path, f"_compact_old_{hk}"))
+    assert not os.path.isdir(os.path.join(table.path, f"_compact_tmp_{hk}"))
