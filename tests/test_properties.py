@@ -196,3 +196,62 @@ def test_connected_components_match_union_find(edges):
         comp = min(m for m in nodes if find(m) == find(n))
         expect[n] = comp
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# redaction: Spark (Java regex) vs Python re on random text — pins the
+# patterns to the cross-dialect subset
+# ---------------------------------------------------------------------------
+redact_text = st.lists(
+    st.one_of(
+        st.text(alphabet="abcdefghij @.:=_-0123456789", max_size=30),
+        st.just("mail me at user@example.com ok"),
+        st.just("from 10.2.3.44 and 256.1.1.1"),
+        st.just("api_key=abcdef0123456789"),
+        st.just("token=short"),
+        st.just("Bearer XYZsecretvalue99"),
+    ),
+    min_size=1, max_size=8,
+).map(" ".join)
+
+
+@given(texts=st.lists(redact_text, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_redact_counts_match_python_re(texts):
+    import re
+
+    from log_aggregation_pipeline_spark.operators.redact import (
+        REDACTIONS,
+        redact,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in redact(df).collect()}
+    for i, t in enumerate(texts):
+        red = t
+        for name, pat, repl in REDACTIONS:
+            assert got[i][f"n_{name}"] == len(re.findall(pat, t)), (name, t)
+            red = re.sub(pat, repl, red)
+        assert got[i].redacted == red, t
+
+
+# ---------------------------------------------------------------------------
+# corpus_stats quantiles vs numpy linear interpolation
+# ---------------------------------------------------------------------------
+@given(toks=st.lists(st.integers(1, 60), min_size=1, max_size=20))
+@settings(max_examples=8, deadline=None)
+def test_corpus_stats_quantiles_match_numpy(toks):
+    import numpy as np
+
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        corpus_stats,
+    )
+
+    spark = _get_spark()
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = corpus_stats(df).first()
+    assert r.p50_tokens == round(float(np.percentile(toks, 50)), 6)
+    assert r.p95_tokens == round(float(np.percentile(toks, 95)), 6)
+    assert r.total_tokens == sum(toks) and r.n_docs == len(toks)
