@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from log_aggregation_pipeline_spark import oracle
 from log_aggregation_pipeline_spark.operators import (
     anomaly,
+    chunking,
     cluster,
     decontam,
     dedupe,
@@ -60,6 +61,7 @@ JACCARD_K, JACCARD_T = 3, 0.4
 SHINGLE_CAP = 1000  # stop-shingle frequency cap (scale guardrail)
 DECONTAM_K, N_EVAL = 5, 20  # decontamination shingle size / eval-set size
 PACK_CAP, PACK_SHARDS = 512, 16  # sequence-packing bin capacity / shards
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8  # doc chunk window / overlap
 SAMPLE_FRAC, SAMPLE_IDS = 0.1, ["conv_id", "turn_idx"]
 EMB_NEAR_T = 0.3
 ANN_QUERY_VEC, ANN_K = 0, 10
@@ -376,6 +378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_rp_project"] = lambda s, d: similarity.rp_project(
         _emb(s, d), in_dim=64, out_dim=8
     )
+    q["doc_chunks"] = lambda s, d: chunking.chunk_documents(
+        _docs(s, d), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
     q["doc_pack_sequences"] = lambda s, d: packing.pack_sequences(
         _docs(s, d), capacity=PACK_CAP, n_shards=PACK_SHARDS
     )
@@ -655,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_decontaminate"] = oracle.decontaminate_sql(DECONTAM_K, N_EVAL)
     o["doc_redact_stats"] = oracle.redact_stats_sql(redact.REDACTIONS)
     o["doc_corpus_stats"] = oracle.corpus_stats_sql()
+    o["doc_chunks"] = oracle.chunk_documents_sql(CHUNK_TOKENS, CHUNK_OVERLAP)
     o["doc_pack_sequences"] = oracle.pack_sequences_sql(PACK_CAP, PACK_SHARDS)
     o["doc_pack_segments"] = oracle.pack_segments_sql(PACK_CAP, PACK_SHARDS)
     o["events_spike_detection"] = oracle.spike_detection_sql()

@@ -390,6 +390,29 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 """
 
 
+def chunk_documents_sql(chunk_tokens: int, overlap: int) -> str:
+    """Chunking twin: range(0, n, stride) window starts, 1-based
+    inclusive list slice per window."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t
+  FROM documents WHERE {NORM_SQL} != ''
+),
+starts AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(range(0, len(t), {stride})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       cast(s // {stride} AS INTEGER) AS chunk_idx,
+       cast(least({chunk_tokens}, n - s) AS INTEGER) AS n_tokens,
+       array_to_string(t[s + 1 : least(s + {chunk_tokens}, n)], ' ')
+         AS chunk_text
+FROM starts
+"""
+
+
 def top_ngrams_sql(k: int, top: int) -> str:
     """Document-frequency top-k-grams twin (same shingle CTE family as
     the jaccard oracle; per-doc shingles distinct, so count(*) is doc

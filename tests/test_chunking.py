@@ -1,0 +1,56 @@
+"""Token-window chunking: exact windows, tail, overlap reconstruction."""
+
+from __future__ import annotations
+
+import pytest
+
+from log_aggregation_pipeline_spark.operators.chunking import chunk_documents
+
+TOKS = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+
+
+def _chunks(spark, text, chunk_tokens, overlap):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens, overlap).collect()
+    return sorted(rows, key=lambda r: r.chunk_idx)
+
+
+def test_exact_windows_and_tail(spark):
+    got = _chunks(spark, TOKS, chunk_tokens=4, overlap=1)  # stride 3
+    assert [(r.chunk_idx, r.n_tokens, r.chunk_text) for r in got] == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+        (3, 1, "t9"),
+    ]
+
+
+def test_no_overlap_partitions_exactly(spark):
+    got = _chunks(spark, TOKS, chunk_tokens=5, overlap=0)
+    assert " ".join(r.chunk_text for r in got) == TOKS
+    assert [r.n_tokens for r in got] == [5, 5]
+
+
+def test_overlap_reconstruction(spark):
+    # dropping each chunk's first `overlap` tokens (except chunk 0)
+    # reconstructs the doc exactly — every token in >= 1 chunk, no loss
+    overlap = 2
+    got = _chunks(spark, TOKS, chunk_tokens=6, overlap=overlap)
+    parts = [got[0].chunk_text.split(" ")] + [
+        r.chunk_text.split(" ")[overlap:] for r in got[1:]
+    ]
+    assert " ".join(t for p in parts for t in p) == TOKS
+
+
+def test_short_and_empty_docs(spark):
+    assert [(r.n_tokens, r.chunk_text) for r in
+            _chunks(spark, "only three tokens", 128, 32)] == [
+        (3, "only three tokens")
+    ]
+    assert _chunks(spark, "   ", 128, 32) == []
+
+
+def test_overlap_ge_chunk_raises(spark):
+    df = spark.createDataFrame([(0, TOKS)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
