@@ -255,3 +255,37 @@ def test_corpus_stats_quantiles_match_numpy(toks):
     assert r.p50_tokens == round(float(np.percentile(toks, 50)), 6)
     assert r.p95_tokens == round(float(np.percentile(toks, 95)), 6)
     assert r.total_tokens == sum(toks) and r.n_docs == len(toks)
+
+
+# ---------------------------------------------------------------------------
+# chunking vs a pure-Python window model
+# ---------------------------------------------------------------------------
+@given(
+    n_toks=st.lists(st.integers(1, 50), min_size=1, max_size=8),
+    params=st.sampled_from([(4, 0), (4, 1), (8, 3), (128, 32)]),
+)
+@settings(max_examples=8, deadline=None)
+def test_chunking_matches_window_model(n_toks, params):
+    from log_aggregation_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    chunk_tokens, overlap = params
+    stride = chunk_tokens - overlap
+    spark = _get_spark()
+    texts = [" ".join(f"w{d}_{j}" for j in range(n)) for d, n in enumerate(n_toks)]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, list] = {}
+    for r in chunk_documents(df, chunk_tokens, overlap).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for d, n in enumerate(n_toks):
+        toks = texts[d].split(" ")
+        expect = [
+            (s // stride, toks[s:s + chunk_tokens])
+            for s in range(0, n, stride)
+        ]
+        rows = sorted(got[d], key=lambda r: r.chunk_idx)
+        assert [(r.chunk_idx, r.chunk_text.split(" ")) for r in rows] == expect
+        assert all(r.n_tokens == len(e[1]) for r, e in zip(rows, expect))
