@@ -44,6 +44,7 @@ from log_aggregation_pipeline_spark.operators.agg import (
     cube_counts,
     pivot_counts,
     rollup_counts,
+    trending_terms,
 )
 from log_aggregation_pipeline_spark.operators.order import sessionize, top_k_per_group
 from log_aggregation_pipeline_spark.operators.parse import parse_kv
@@ -366,6 +367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_redact_stats"] = _redact_stats
+    q["trending_error_codes"] = lambda s, d: trending_terms(
+        _parsed(s, d), "error_code", interval="day", top_k=5
+    )
     q["events_spike_detection"] = lambda s, d: anomaly.spike_detection(
         s.read.parquet(f"{d}/events.parquet")
     )
@@ -663,6 +667,9 @@ def oracle_sql() -> dict[str, str]:
     o["doc_chunks"] = oracle.chunk_documents_sql(CHUNK_TOKENS, CHUNK_OVERLAP)
     o["doc_pack_sequences"] = oracle.pack_sequences_sql(PACK_CAP, PACK_SHARDS)
     o["doc_pack_segments"] = oracle.pack_segments_sql(PACK_CAP, PACK_SHARDS)
+    o["trending_error_codes"] = oracle.trending_terms_sql(
+        "error_code", "day", top_k=5
+    )
     o["events_spike_detection"] = oracle.spike_detection_sql()
     o["corpus_prep_funnel"] = oracle.corpus_prep_sql(
         text_analysis.STOPWORDS, quality_min=1.0, k=DECONTAM_K, n_eval=N_EVAL

@@ -26,7 +26,7 @@ two-phase result is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -158,3 +158,46 @@ def limited_terms_agg_compat(
     order (nondeterministic); we pin ts order to make it testable."""
     page = df.orderBy(ts_col).limit(limit)
     return terms_agg(page, field)
+
+
+def trending_terms(
+    df: DataFrame,
+    field: str,
+    ts_col: str = "ts",
+    interval: str = "day",
+    top_k: int = 5,
+) -> DataFrame:
+    """Dashboard "trending" view: per time bucket, the top-k values of
+    ``field`` with their rank and the rank delta vs the PREVIOUS
+    bucket (negative delta = rising).  Ranks are computed over ALL
+    values per bucket before the top-k cut, so a term entering the
+    top-k still shows its true previous rank; a term absent from the
+    previous bucket has prev_rank NULL.
+
+    Shape: one (bucket, value) count shuffle, a per-bucket rank window
+    (bucket count bounds state), a per-value lag window — uniform
+    keys, ties broken by value for determinism.
+    """
+    daily = (
+        df.filter(F.col(field).isNotNull() & (F.col(field) != ""))
+        .groupBy(
+            F.date_trunc(interval, F.col(ts_col).cast("timestamp")).alias(
+                "bucket"
+            ),
+            F.col(field).alias("term"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w_rank = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("term"))
+    w_prev = Window.partitionBy("term").orderBy("bucket")
+    ranked = daily.withColumn("rank", F.row_number().over(w_rank)).withColumn(
+        "prev_rank", F.lag("rank").over(w_prev)
+    )
+    return ranked.filter(F.col("rank") <= top_k).select(
+        "bucket",
+        "term",
+        "n",
+        "rank",
+        "prev_rank",
+        (F.col("rank") - F.col("prev_rank")).alias("rank_delta"),
+    )

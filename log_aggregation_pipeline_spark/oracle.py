@@ -144,6 +144,39 @@ FROM g GROUP BY conv_id
 """
 
 
+def trending_terms_sql(
+    field: str = "error_code",
+    interval: str = "day",
+    top_k: int = 5,
+    events_relation: str = "events",
+) -> str:
+    """Trending twin: rank over ALL per-bucket values, lag per value,
+    then the top-k cut — same order as the Spark operator."""
+    return f"""{parsed_cte(events_relation)},
+daily AS (
+  SELECT date_trunc('{interval}', ts) AS bucket, {field} AS term,
+         count(*) AS n
+  FROM parsed WHERE {field} IS NOT NULL AND {field} != ''
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+    cast(row_number() OVER (PARTITION BY bucket ORDER BY n DESC, term)
+         AS INTEGER) AS rank
+  FROM daily
+),
+lagged AS (
+  SELECT *,
+    cast(lag(rank) OVER (PARTITION BY term ORDER BY bucket)
+         AS INTEGER) AS prev_rank
+  FROM ranked
+)
+SELECT bucket, term, n, rank, prev_rank,
+       rank - prev_rank AS rank_delta
+FROM lagged WHERE rank <= {top_k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over documents / embeddings (DuckDB twins of
 # operators.dedupe / text_analysis / similarity).  The normalization
