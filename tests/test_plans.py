@@ -184,3 +184,29 @@ def test_minhash_signature_is_projection(spark):
     p = plan_of(minhash_signatures(docs, 32))
     assert "Exchange" not in p
     assert "HashAggregate" not in p
+
+
+def test_chunking_is_shuffle_free(spark):
+    from log_aggregation_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(chunk_documents(docs))
+    assert "Exchange" not in p  # projection + generate only
+
+
+def test_trending_terms_single_count_shuffle(spark):
+    """One aggregation exchange on (bucket, term) + the two window
+    exchanges — no extra shuffles creep in."""
+    from log_aggregation_pipeline_spark.operators.agg import trending_terms
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "error_code", F.col("event_type")
+    )
+    p = plan_of(trending_terms(ev, "error_code"))
+    n_hash_exchanges = sum(
+        1 for l in p.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_exchanges <= 3
+    assert "Exchange SinglePartition" not in p  # no global window
