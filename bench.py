@@ -260,6 +260,11 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         )
 
         timed("doc_top_ngrams", lambda: noop(top_ngrams(docs)))
+        from log_aggregation_pipeline_spark.operators.chunking import (
+            chunk_documents,
+        )
+
+        timed("doc_chunks", lambda: noop(chunk_documents(docs)))
         # composed dedup+quality+decontam funnel — the multi-op plan
         timed("corpus_prep_funnel", lambda: noop(corpus_prep_funnel(docs)))
 
