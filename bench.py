@@ -264,7 +264,12 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
             chunk_documents,
         )
 
-        timed("doc_chunks", lambda: noop(chunk_documents(docs)))
+        # same params as the driver-contract doc_chunks query, so the
+        # benched plan is the plan the correctness gate runs
+        from __spark_entry__ import CHUNK_OVERLAP, CHUNK_TOKENS
+
+        timed("doc_chunks", lambda: noop(
+            chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)))
         # composed dedup+quality+decontam funnel — the multi-op plan
         timed("corpus_prep_funnel", lambda: noop(corpus_prep_funnel(docs)))
 

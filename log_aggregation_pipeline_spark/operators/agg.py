@@ -168,11 +168,13 @@ def trending_terms(
     top_k: int = 5,
 ) -> DataFrame:
     """Dashboard "trending" view: per time bucket, the top-k values of
-    ``field`` with their rank and the rank delta vs the PREVIOUS
-    bucket (negative delta = rising).  Ranks are computed over ALL
-    values per bucket before the top-k cut, so a term entering the
-    top-k still shows its true previous rank; a term absent from the
-    previous bucket has prev_rank NULL.
+    ``field`` with their rank and the rank delta vs the IMMEDIATELY
+    previous bucket (negative delta = rising).  Ranks are computed
+    over ALL values per bucket before the top-k cut, so a term
+    entering the top-k still shows its true previous rank; a term
+    absent from the immediately previous bucket (including one
+    returning after a gap) has prev_rank NULL — a re-entrant is a new
+    entrant, not "steady since last seen".
 
     Shape: one (bucket, value) count shuffle, a per-bucket rank window
     (bucket count bounds state), a per-value lag window — uniform
@@ -190,8 +192,15 @@ def trending_terms(
     )
     w_rank = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("term"))
     w_prev = Window.partitionBy("term").orderBy("bucket")
+    # lag() skips buckets where the term emitted nothing — a term
+    # returning after a gap must read as a NEW entrant (prev_rank
+    # NULL), not as "steady since last week", so the lagged rank only
+    # counts when the lagged bucket is the immediately previous one
+    adjacent = F.lag("bucket").over(w_prev) == F.col("bucket") - F.expr(
+        f"INTERVAL 1 {interval}"
+    )
     ranked = daily.withColumn("rank", F.row_number().over(w_rank)).withColumn(
-        "prev_rank", F.lag("rank").over(w_prev)
+        "prev_rank", F.when(adjacent, F.lag("rank").over(w_prev))
     )
     return ranked.filter(F.col("rank") <= top_k).select(
         "bucket",

@@ -29,30 +29,43 @@ def chunk_documents(
 ) -> DataFrame:
     """(id, chunk_idx, n_tokens, chunk_text) — whitespace-token windows
     over normalized text.  Window i covers tokens
-    [i*stride, i*stride + chunk_tokens); the final windows may be
-    short (tail), and every token belongs to >= 1 chunk.  Docs whose
-    normalized text is empty emit no chunks."""
-    if overlap >= chunk_tokens:
+    [i*stride, i*stride + chunk_tokens); the final window may be short
+    (tail), every token belongs to >= 1 chunk, and no chunk is a
+    strict suffix of its predecessor (a start inside the last window's
+    overlap region would duplicate already-covered text — poison for a
+    dedup-centric corpus).  Docs whose normalized text is empty emit
+    no chunks."""
+    if not 0 <= overlap < chunk_tokens:
         raise ValueError(
-            f"overlap={overlap} must be < chunk_tokens={chunk_tokens} "
-            "(stride would be <= 0)"
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens} (stride would be <= 0 or "
+            "tokens would silently fall between windows)"
         )
     stride = chunk_tokens - overlap
+    # cheap pre-projection filter (trim(text) empty iff normalized
+    # empty): filtering on the normalized column itself would be
+    # pushed below the projection and re-run the regex per row
     toks = (
-        df.select(
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
             F.col(id_col),
             F.split(normalize_text(text_col), " ").alias("_t"),
-            normalize_text(text_col).alias("_norm"),
         )
-        .filter(F.col("_norm") != "")
         .select(F.col(id_col), "_t", F.size("_t").alias("_n"))
     )
+    # last start: the largest stride multiple <= n - overlap - 1 —
+    # any later start yields a chunk fully contained in the previous
+    # one; coverage still holds (last_start + chunk_tokens >= n)
     starts = toks.select(
         id_col,
         "_t",
         "_n",
         F.explode(
-            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("_n") - overlap - 1, F.lit(0)),
+                F.lit(stride),
+            )
         ).alias("_s"),
     )
     chunk = F.slice(F.col("_t"), F.col("_s") + 1, chunk_tokens)

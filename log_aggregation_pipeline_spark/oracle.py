@@ -167,8 +167,10 @@ ranked AS (
 ),
 lagged AS (
   SELECT *,
-    cast(lag(rank) OVER (PARTITION BY term ORDER BY bucket)
-         AS INTEGER) AS prev_rank
+    CASE WHEN lag(bucket) OVER (PARTITION BY term ORDER BY bucket)
+              = bucket - INTERVAL 1 {interval}
+         THEN cast(lag(rank) OVER (PARTITION BY term ORDER BY bucket)
+                   AS INTEGER) END AS prev_rank
   FROM ranked
 )
 SELECT bucket, term, n, rank, prev_rank,
@@ -434,7 +436,7 @@ WITH toks AS (
 ),
 starts AS (
   SELECT doc_id, t, len(t) AS n,
-         unnest(range(0, len(t), {stride})) AS s
+         unnest(range(0, greatest(len(t) - {overlap}, 1), {stride})) AS s
   FROM toks
 )
 SELECT doc_id,

@@ -25,3 +25,22 @@ def test_trending_terms_rank_movement(spark):
     assert (r.rank, r.prev_rank, r.rank_delta) == (1, 3, -2)  # riser
     r = got[(2, "E1")]
     assert (r.rank, r.prev_rank, r.rank_delta) == (2, 1, 1)   # faller
+
+
+def test_trending_terms_gap_reentrant_is_new(spark):
+    """A term returning after an absent bucket must have prev_rank
+    NULL (lag alone would skip the gap and report it 'steady')."""
+    import datetime as dt
+
+    from log_aggregation_pipeline_spark.operators.agg import trending_terms
+
+    d1, d3 = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 3, 9)
+    rows = [("E1", d1), ("FILL", d1), ("FILL", d3), ("E1", d3)]
+    df = spark.createDataFrame(
+        [(i, c, t) for i, (c, t) in enumerate(rows)],
+        "id long, error_code string, ts timestamp",
+    )
+    got = {(r.bucket.day, r.term): r for r in
+           trending_terms(df, "error_code", top_k=5).collect()}
+    r = got[(3, "E1")]
+    assert r.prev_rank is None and r.rank_delta is None  # day 2 absent

@@ -17,12 +17,22 @@ def _chunks(spark, text, chunk_tokens, overlap):
 
 def test_exact_windows_and_tail(spark):
     got = _chunks(spark, TOKS, chunk_tokens=4, overlap=1)  # stride 3
+    # NO fourth chunk "t9": a start inside the last window's overlap
+    # would be a strict suffix of chunk 2 (duplicate text)
     assert [(r.chunk_idx, r.n_tokens, r.chunk_text) for r in got] == [
         (0, 4, "t0 t1 t2 t3"),
         (1, 4, "t3 t4 t5 t6"),
         (2, 4, "t6 t7 t8 t9"),
-        (3, 1, "t9"),
     ]
+
+
+def test_true_tail_still_emitted(spark):
+    # 11 tokens, chunk 4, overlap 1: start 9 adds token t10 -> kept
+    got = _chunks(spark, TOKS + " t10", chunk_tokens=4, overlap=1)
+    assert got[-1].chunk_text == "t9 t10" and got[-1].n_tokens == 2
+    # union of chunks covers every token exactly
+    seen = {t for r in got for t in r.chunk_text.split(" ")}
+    assert seen == {f"t{i}" for i in range(11)}
 
 
 def test_no_overlap_partitions_exactly(spark):
@@ -50,7 +60,10 @@ def test_short_and_empty_docs(spark):
     assert _chunks(spark, "   ", 128, 32) == []
 
 
-def test_overlap_ge_chunk_raises(spark):
+def test_invalid_overlap_raises(spark):
     df = spark.createDataFrame([(0, TOKS)], "doc_id long, text string")
-    with pytest.raises(ValueError, match="stride"):
+    with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="overlap"):
+        # negative overlap -> stride > chunk -> silent token loss
+        chunk_documents(df, chunk_tokens=4, overlap=-1)

@@ -284,7 +284,7 @@ def test_chunking_matches_window_model(n_toks, params):
         toks = texts[d].split(" ")
         expect = [
             (s // stride, toks[s:s + chunk_tokens])
-            for s in range(0, n, stride)
+            for s in range(0, max(n - overlap, 1), stride)
         ]
         rows = sorted(got[d], key=lambda r: r.chunk_idx)
         assert [(r.chunk_idx, r.chunk_text.split(" ")) for r in rows] == expect
