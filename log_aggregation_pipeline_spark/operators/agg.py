@@ -180,6 +180,13 @@ def trending_terms(
     (bucket count bounds state), a per-value lag window — uniform
     keys, ties broken by value for determinism.
     """
+    if interval not in ("minute", "hour", "day"):
+        # the unit is interpolated into an INTERVAL literal below —
+        # validate up front (matching date_histogram's whitelist)
+        # instead of failing late with an opaque parse error
+        raise ValueError(
+            f"interval must be one of minute/hour/day, got {interval!r}"
+        )
     daily = (
         df.filter(F.col(field).isNotNull() & (F.col(field) != ""))
         .groupBy(

@@ -36,6 +36,10 @@ def spike_detection(
     at least ``min_history`` trailing buckets of history and non-zero
     variance.  ``is_spike`` derives from the ROUNDED z-score so the
     boolean is reproducible across engines."""
+    if min_history < 2:
+        # variance needs >= 2 history rows; below that the (cnt-1)
+        # divisor is 0 for every scored bucket
+        raise ValueError(f"min_history must be >= 2, got {min_history}")
     hourly = (
         events.groupBy(
             F.col(type_col).alias("event_type"),
@@ -55,12 +59,20 @@ def spike_detection(
     sum_sq = F.sum(F.col("n") * F.col("n")).over(w)
     cnt = F.count("n").over(w)
     mean = sum_n.cast("double") / cnt
-    var = (
-        sum_sq.cast("double") - sum_n.cast("double") * sum_n / cnt
-    ) / (cnt - 1)
-    z = F.round((F.col("n") - mean) / F.sqrt(var), 6)
-    # window columns MUST materialize before the filter: a window
-    # expression evaluated after a row filter sees the filtered frame
+    # divisors guarded explicitly: Spark 4's default ANSI mode makes
+    # x/0 a runtime error, and the cnt>=min_history / var>0 row filter
+    # below is NOT a guard — Catalyst may evaluate the projection
+    # before (or regardless of) where it plants the filter.  when()
+    # only evaluates the matched branch, so cnt<2 rows get NULL var
+    # and var<=0 rows get NULL z instead of DIVIDE_BY_ZERO.
+    var = F.when(
+        cnt >= 2,
+        (sum_sq.cast("double") - sum_n.cast("double") * sum_n / cnt)
+        / (cnt - 1),
+    )
+    z = F.when(var > 0, F.round((F.col("n") - mean) / F.sqrt(var), 6))
+    # the filter references the windowed cnt/var via this projection;
+    # computing them once here also keeps the two frames identical
     scored = hourly.select(
         "event_type",
         "bucket",

@@ -35,6 +35,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release a ``localCheckpoint``-ed DataFrame's storage blocks.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries, and a
+    checkpoint persists the underlying internal RDD directly — so the
+    public call is a silent no-op and every superseded round's blocks
+    would accumulate for the session's lifetime (measured: persistent-
+    RDD count grows by rounds+2 per connected_components call without
+    this).  The checkpointed Dataset's analyzed plan is a LogicalRDD
+    wrapping exactly that RDD; unpersist it through the JVM handle."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — plan not a bare LogicalRDD
+        df.unpersist()
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
@@ -61,45 +77,56 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
-        # 1) neighbor-min: min over own label and all neighbors' labels
-        nbr = (
-            edges.join(labels, edges.v == labels.node)
-            .select(edges.u.alias("node"), "label")
-        )
-        new_labels = (
-            nbr.union(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # 2) pointer jump: l(v) <- l(l(v)) — doubles propagation reach
-        lbl2 = new_labels.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            new_labels.join(lbl2, new_labels.label == lbl2.p_node)
-            .select("node", F.col("p_label").alias("label"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-        )
-        old = labels
-        labels = new_labels
-        if changed.isEmpty():
-            old.unpersist()
-            return labels.select(
-                F.col("node"), F.col("label").alias("component")
+    # unpersist the edges checkpoint on EVERY exit (converged or not):
+    # the final labels checkpoint's lineage is truncated, so the result
+    # no longer references edges, and leaving it cached would
+    # accumulate checkpoint blocks across repeated calls in a
+    # long-lived session.  The RETURNED labels checkpoint stays cached
+    # (its blocks ARE the result — lineage is cut); it is freed by the
+    # ContextCleaner when the caller drops the DataFrame.
+    try:
+        for _ in range(max_iter):
+            # 1) neighbor-min: min over own and all neighbors' labels
+            nbr = (
+                edges.join(labels, edges.v == labels.node)
+                .select(edges.u.alias("node"), "label")
             )
-        old.unpersist()
+            new_labels = (
+                nbr.union(labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            # 2) pointer jump: l(v) <- l(l(v)) — doubles reach
+            lbl2 = new_labels.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            new_labels = (
+                new_labels.join(lbl2, new_labels.label == lbl2.p_node)
+                .select("node", F.col("p_label").alias("label"))
+            )
+            new_labels = new_labels.localCheckpoint(eager=True)
 
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "component diameter exceeds 2^max_iter; raise max_iter"
-    )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .where(F.col("n.label") != F.col("o.label"))
+            )
+            old = labels
+            labels = new_labels
+            if changed.isEmpty():
+                _free_checkpoint(old)
+                return labels.select(
+                    F.col("node"), F.col("label").alias("component")
+                )
+            _free_checkpoint(old)
+
+        _free_checkpoint(labels)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds 2^max_iter; raise max_iter"
+        )
+    finally:
+        _free_checkpoint(edges)
 
 
 def dup_clusters(

@@ -70,7 +70,9 @@ def pack_sequences(
     )
 
 
-def split_straddlers(packed: DataFrame, capacity: int = 512) -> DataFrame:
+def split_straddlers(
+    packed: DataFrame, capacity: int = 512, id_col: str = "doc_id"
+) -> DataFrame:
     """Expand packing assignments into per-bin SEGMENTS — the "split"
     policy for straddling docs: a doc spanning bins [b0..b1] yields one
     row per bin with doc-relative token offsets [tok_start, tok_end),
@@ -90,7 +92,7 @@ def split_straddlers(packed: DataFrame, capacity: int = 512) -> DataFrame:
     seg_start = F.greatest(abs_start, F.col("seg_bin").cast("long") * capacity)
     seg_end = F.least(abs_end, (F.col("seg_bin").cast("long") + 1) * capacity)
     return with_seg.select(
-        packed.columns[0],  # id column
+        id_col,
         "shard",
         F.col("seg_bin").alias("bin_id"),
         (F.col("seg_bin") - F.col("bin_id")).cast("int").alias("seg_idx"),

@@ -122,6 +122,8 @@ def start_udp_receiver(
     bound = sock.getsockname()[1]
     stop = threading.Event()
 
+    # first start on a fresh drop_dir: create it before the resume scan
+    os.makedirs(drop_dir, exist_ok=True)
     # resume the spool index past existing files: restarting at 0 with
     # a persistent drop_dir would os.replace over an unread datagram
     # AND hide the new one (Spark's file source never re-reads a path

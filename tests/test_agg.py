@@ -44,3 +44,13 @@ def test_trending_terms_gap_reentrant_is_new(spark):
            trending_terms(df, "error_code", top_k=5).collect()}
     r = got[(3, "E1")]
     assert r.prev_rank is None and r.rank_delta is None  # day 2 absent
+
+
+def test_trending_terms_invalid_interval_raises(spark):
+    import pytest
+
+    from log_aggregation_pipeline_spark.operators.agg import trending_terms
+
+    df = spark.range(1)  # never evaluated — validation is up-front
+    with pytest.raises(ValueError, match="interval"):
+        trending_terms(df, "error_code", interval="fortnight")

@@ -38,3 +38,16 @@ def test_zero_variance_history_excluded(spark):
     # perfectly constant history -> var 0 -> no division blowup, no rows
     df = _events(spark, [10] * 10)
     assert spike_detection(df, min_history=6).count() == 0
+
+
+def test_min_history_guard_and_validation(spark):
+    import pytest
+
+    # 3-bucket input, min_history=2: the cnt=0/cnt=1 rows flow through
+    # the projection before the history filter — the guarded divisors
+    # must yield NULL there, not an ANSI DIVIDE_BY_ZERO
+    df = _events(spark, [10, 12, 30])
+    got = {r.bucket.hour: r for r in spike_detection(df, min_history=2).collect()}
+    assert list(got) == [2]  # only the bucket with 2 history rows scores
+    with pytest.raises(ValueError, match="min_history"):
+        spike_detection(df, min_history=1)

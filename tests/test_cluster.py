@@ -78,3 +78,22 @@ def test_works_on_string_ids(spark):
     rows = connected_components(pairs).collect()
     got = {r.node: r.component for r in rows}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_releases_checkpoints(spark):
+    # long-lived-session hygiene: only the RETURNED labels checkpoint
+    # may stay cached; edges and every superseded per-round checkpoint
+    # are unpersisted on the way out
+    from log_aggregation_pipeline_spark.operators.cluster import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    cc = connected_components(pairs)
+    assert cc.count() == 5
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after - before <= 1

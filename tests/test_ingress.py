@@ -205,3 +205,19 @@ def test_udp_receiver_resumes_spool_index(tmp_path):
         stop.set()
     assert (drop / "dgram_000004.log").read_text() == "fresh datagram\n"
     assert (drop / "dgram_000003.log").read_text() == "old datagram\n"
+
+
+def test_udp_receiver_creates_missing_drop_dir(tmp_path):
+    # fresh start: the spool-index resume scan must not require the
+    # drop dir to pre-exist
+    from log_aggregation_pipeline_spark.streaming.ingress import (
+        start_udp_receiver,
+    )
+
+    drop = tmp_path / "fresh" / "udp_drop"
+    port, stop, t = start_udp_receiver(str(drop))
+    try:
+        assert drop.is_dir() and port > 0
+    finally:
+        stop.set()
+        t.join(timeout=5)

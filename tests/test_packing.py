@@ -122,3 +122,23 @@ def test_split_straddlers_bin_capacity_never_exceeded(spark):
     # every bin except each shard's last is filled EXACTLY to capacity
     last = {s: max(b for sh, b in fill if sh == s) for s, _ in fill}
     assert all(v == 128 for (sh, b), v in fill.items() if b < last[sh])
+
+
+def test_split_straddlers_column_reorder_safe(spark):
+    # id resolution is by name (id_col), not position: a reordered
+    # projection of pack_sequences output yields identical segments
+    from log_aggregation_pipeline_spark.operators.packing import (
+        split_straddlers,
+    )
+
+    df = spark.createDataFrame(
+        [(0, " ".join(["w"] * 700))], "doc_id long, text string"
+    )
+    packed = pack_sequences(df, capacity=512, n_shards=1)
+    reordered = packed.select(
+        "shard", "n_tokens", "bin_id", "bin_offset", "straddles", "doc_id"
+    )
+    key = lambda r: (r.doc_id, r.bin_id, r.tok_start, r.tok_end)  # noqa: E731
+    a = sorted(map(key, split_straddlers(packed, 512).collect()))
+    b = sorted(map(key, split_straddlers(reordered, 512).collect()))
+    assert a == b and len(a) == 2
