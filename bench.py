@@ -90,26 +90,34 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
 
     timings: dict[str, float] = {}
     single_shot: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    reps_log: dict[str, list[float]] = {}
 
-    # per-query timings are best-of-2: this host's phase noise swings a
+    # per-query timings are best-of-3: this host's phase noise swings a
     # single-shot measurement 2-3x (same op 3.6s/26s back-to-back);
     # noise is strictly additive so min is the honest estimate.  The
     # first iteration still pays that query's codegen (fresh plan), so
     # cold-plan regressions remain visible in the first-run delta.
-    # METHODOLOGY NOTE: round-1 artifacts were single-shot; round-2+
-    # are best-of-2.  The single-shot (first-run) column is emitted
-    # alongside (queries_single_shot) so round-over-round deltas can
-    # always be compared same-methodology (BENCH/METHODOLOGY.md).
-    def timed(name, fn, reps: int = 2):
-        best = None
-        for i in range(reps):
+    # METHODOLOGY NOTE: r1 single-shot, r2-r3 best-of-2, r4+ best-of-3
+    # with median/spread/per-rep columns so a cross-round delta is
+    # self-adjudicating (a wide spread flags phase noise; a tight
+    # spread around a slower median flags a real regression) — the
+    # r3-vs-r2 false-alarm was a single best-of-2 sample per round.
+    # Compare same-methodology columns across rounds
+    # (BENCH/METHODOLOGY.md has the table).
+    def timed(name, fn, reps: int = 3):
+        ts = []
+        out = None
+        for _ in range(reps):
             t0 = time.perf_counter()
             out = fn()
-            dt = time.perf_counter() - t0
-            if i == 0:
-                single_shot[name] = round(dt, 4)
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            ts.append(time.perf_counter() - t0)
+        single_shot[name] = round(ts[0], 4)
+        reps_log[name] = [round(t, 4) for t in ts]
+        timings[name] = round(min(ts), 4)
+        medians[name] = round(sorted(ts)[len(ts) // 2], 4)
+        spreads[name] = round(max(ts) - min(ts), 4)
         return out
 
     transcripts = transcripts_from_events(spark, sf_dir)
@@ -133,19 +141,20 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
     factor = int(os.environ.get("SPARK_GRAFT_REPL", "10"))
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     big = replicate_transcripts(spark, sf_dir, factor)
-    best = None
-    for i in range(repeats):
+    ts = []
+    for _ in range(repeats):
         out_dir = tempfile.mkdtemp(prefix="lap_bench_sustained_")
         try:
             t0 = time.perf_counter()
             run_pipeline(spark, big, out_dir)
-            dt = time.perf_counter() - t0
+            ts.append(time.perf_counter() - t0)
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
-        if i == 0:
-            single_shot["pipeline_sustained"] = round(dt, 4)
-        best = dt if best is None else min(best, dt)
-    timings["pipeline_sustained"] = round(best, 4)
+    single_shot["pipeline_sustained"] = round(ts[0], 4)
+    reps_log["pipeline_sustained"] = [round(t, 4) for t in ts]
+    timings["pipeline_sustained"] = round(min(ts), 4)
+    medians["pipeline_sustained"] = round(sorted(ts)[len(ts) // 2], 4)
+    spreads["pipeline_sustained"] = round(max(ts) - min(ts), 4)
     n_sustained = n_turns * factor
 
     if not pipeline_only:
@@ -252,6 +261,13 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         # includes its jaccard pair-source sub-plan + CC iterations
         timed("doc_dup_clusters", lambda: noop(dup_clusters(
             ngram_jaccard_pairs(docs, max_shingle_freq=1000))))
+        from log_aggregation_pipeline_spark.operators.cluster import (
+            cluster_keepers,
+        )
+
+        # dedup endgame: clusters + quality join + per-cluster argmax
+        timed("doc_cluster_keepers", lambda: noop(cluster_keepers(
+            docs, ngram_jaccard_pairs(docs, max_shingle_freq=1000))))
         from log_aggregation_pipeline_spark.operators.text_analysis import (
             top_ngrams,
         )
@@ -281,6 +297,9 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         "unit": "sec",
         "queries": timings,
         "queries_single_shot": single_shot,
+        "queries_median": medians,
+        "queries_spread": spreads,
+        "queries_reps": reps_log,
         "sf": _sf_from_dir(sf_dir),
         "cores": cores,
         "n_turns": n_turns,

@@ -150,3 +150,51 @@ def dup_clusters(
             "cluster_size",
         )
     )
+
+
+def cluster_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The final step of the dedup story (pairs -> components ->
+    KEEPER): one row per near-dup cluster naming the canonical
+    document to keep — the member with the highest
+    ``quality_features`` score, ties broken by minimum doc id so the
+    choice is deterministic.  (Keeping the min-id member regardless of
+    quality is what a naive ``cluster_rep`` filter does; choosing by
+    quality is the curation-correct policy — you keep the cleanest
+    copy, not the lexicographically first one.)
+
+    Plan shape: dup_clusters (iterative CC) joined to the quality
+    projection on doc_id (uniform key), then one row_number window
+    partitioned by cluster — per-cluster state is the cluster's member
+    count, bounded by the biggest near-dup cluster, with AQE skew
+    handling as the backstop exactly as in dup_clusters.  Returns
+    (cluster_rep, keeper_id, cluster_size, keeper_quality)."""
+    from pyspark.sql import Window
+
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    clusters = dup_clusters(pairs, a_col, b_col)  # id column: doc_id
+    qual = quality_features(docs).select(
+        F.col(id_col).alias("doc_id"), "quality_score"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("keeper_id"),
+            "cluster_size",
+            F.col("quality_score").alias("keeper_quality"),
+        )
+    )

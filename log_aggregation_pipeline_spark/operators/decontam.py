@@ -24,6 +24,18 @@ from log_aggregation_pipeline_spark.operators.dedupe import (
     _shingle_df,
 )
 
+# The published GPT-3 appendix-C recipe's n-gram size.  The driver
+# contract runs k=5 because the synthetic test corpus's docs are short
+# word salad (13-gram collisions never occur there); production runs
+# against real benchmarks should use this profile.  Interaction to
+# know: a doc with FEWER than k tokens produces zero shingles and can
+# therefore NEVER be flagged, however much of it appears in the eval
+# set — at k=13 that silently exempts sub-13-token docs (tweets, titles,
+# single-line code).  If short docs matter, run a second pass at a
+# smaller k over only the short-doc slice (tested in
+# tests/test_decontam.py::test_k13_profile_short_doc_exemption).
+GPT3_K = 13
+
 
 def eval_split(df: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
     """Deterministic md5-ranked eval slice — the engine-portable split

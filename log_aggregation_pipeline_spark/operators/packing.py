@@ -32,17 +32,50 @@ from log_aggregation_pipeline_spark.operators.text_analysis import (
 )
 
 
+def adaptive_n_shards(
+    total_tokens: int,
+    target_tokens_per_shard: int = 50_000_000,
+    min_shards: int = 16,
+) -> int:
+    """Shard-count policy: each shard is ONE sequential cumsum window,
+    so per-shard token mass is the bounded-state knob.  Deriving
+    ``ceil(total / target)`` keeps every shard's window at
+    ~``target_tokens_per_shard`` no matter how large the corpus grows —
+    a static shard count would turn each shard into a multi-TB
+    single-partition scan at 100 TB (same policy class as
+    dedupe.adaptive_n_blocks).  ``min_shards`` keeps small corpora
+    parallel across local cores."""
+    import math
+
+    return max(min_shards, math.ceil(total_tokens / target_tokens_per_shard))
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 512,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_tokens_per_shard: int = 50_000_000,
 ) -> DataFrame:
     """(id, shard, n_tokens, bin_id, bin_offset, straddles) packing
     assignment.  ``bin_offset`` is the doc's start position within its
     bin; ``straddles`` marks docs that cross the capacity boundary
-    (docs longer than ``capacity`` always straddle)."""
+    (docs longer than ``capacity`` always straddle).
+
+    ``n_shards=None`` (default) sizes itself from the corpus token
+    count via ``adaptive_n_shards`` — one extra column-pruned pass over
+    ``text_col`` (a cheap count-style job next to the window stage);
+    pass an explicit ``n_shards`` to skip it when the caller already
+    knows the scale (the driver contract pins it so the oracle's shard
+    literal matches)."""
+    if n_shards is None:
+        total = df.select(
+            F.sum(whitespace_token_count(text_col))
+        ).first()[0]
+        n_shards = adaptive_n_shards(
+            int(total or 0), target_tokens_per_shard
+        )
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)

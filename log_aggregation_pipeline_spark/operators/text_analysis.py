@@ -110,11 +110,14 @@ def lm_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     - dup_bigram_frac  share of word bigrams that are repeats
     - lm_score         composite in [0,1] from thresholded terms
 
-    Pure expressions (split/HOFs), no shuffle; token and bigram arrays
-    are materialized in their own projections (the Catalyst
-    re-evaluates-inline-lambda-args trap, see dedupe).  Per-doc work is
-    O(distinct·total) for the top-token count — embarrassingly parallel
-    and bounded by doc length, fine at corpus scale."""
+    Pure expressions (split/HOFs), no shuffle; token, sorted-token and
+    run-boundary arrays are materialized in their own projections (the
+    Catalyst re-evaluates-inline-lambda-args trap, see dedupe).
+    Per-doc work is O(n log n): the top-token count is the longest
+    equal-run in the SORTED token array (run starts -> adjacent
+    differences), not a per-distinct-token scan — the naive
+    O(distinct·total) form is a straggler factory on 100k-token
+    pretraining docs (~10⁹ HOF ops per doc)."""
     out = (
         df.withColumn("_norm", normalize_text(text_col))
         .withColumn("_toks", F.split("_norm", " "))
@@ -123,6 +126,21 @@ def lm_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.col("_norm") == "", F.lit(0)).otherwise(F.size("_toks")),
         )
         .withColumn("_dt", F.array_distinct("_toks"))
+        .withColumn("_st", F.array_sort("_toks"))
+        .withColumn(
+            # 1-based positions where a new equal-run starts in _st;
+            # size("_st") >= 1 always (split of "" is [""]), so the
+            # sequence is never descending
+            "_rb",
+            F.filter(
+                F.sequence(F.lit(1), F.size("_st")),
+                lambda i: (i == 1)
+                | (
+                    F.element_at("_st", i.cast("int"))
+                    != F.element_at("_st", (i - 1).cast("int"))
+                ),
+            ),
+        )
         .withColumn(
             "_bg",
             F.when(
@@ -139,10 +157,16 @@ def lm_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     n = F.col("_n")
+    # run length = next run's start - this run's start (the sentinel
+    # size+1 closes the last run); max run length == max token count
     maxcnt = F.array_max(
-        F.transform(
-            F.col("_dt"),
-            lambda t: F.size(F.filter(F.col("_toks"), lambda x: x == t)),
+        F.zip_with(
+            F.concat(
+                F.slice(F.col("_rb"), 2, F.size("_rb") - 1),
+                F.array(F.size("_st") + 1),
+            ),
+            F.col("_rb"),
+            lambda nxt, start: nxt - start,
         )
     )
     n_bg, d_bg = F.size("_bg"), F.size(F.array_distinct("_bg"))
@@ -165,7 +189,7 @@ def lm_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "lm_score",
         F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(F.round(score, 6)),
-    ).drop("_norm", "_toks", "_n", "_dt", "_bg")
+    ).drop("_norm", "_toks", "_n", "_dt", "_st", "_rb", "_bg")
 
 
 # ---------------------------------------------------------------------------

@@ -276,6 +276,26 @@ FROM comp
 """
 
 
+def cluster_keepers_sql(pairs_sql: str, quality_sql_text: str) -> str:
+    """Keeper-selection twin: clusters from the recursive-CTE
+    component query, quality from the quality twin, keeper = per
+    cluster the max-quality member with min-doc_id ties — the same
+    row_number spec as the Spark window."""
+    return f"""
+WITH clusters AS (SELECT * FROM ({dup_clusters_sql(pairs_sql)})),
+qual AS (SELECT doc_id, quality_score FROM ({quality_sql_text})),
+ranked AS (
+  SELECT c.cluster_rep, c.doc_id, c.cluster_size, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN qual q USING (doc_id)
+)
+SELECT cluster_rep, doc_id AS keeper_id, cluster_size,
+       quality_score AS keeper_quality
+FROM ranked WHERE rn = 1
+"""
+
+
 def corpus_stats_sql(group_col: str = "source") -> str:
     """Per-group composition twin.  ``quantile_cont`` is DuckDB's
     interpolated quantile — the same definition as Spark's exact

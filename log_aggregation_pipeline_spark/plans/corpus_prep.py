@@ -17,6 +17,13 @@ Composition notes (why this shape survives 100 TB):
   upstream filters;
 - the five funnel counts are independent single-row aggregates
   crossJoined together (1x1 joins — free).
+
+Cold-plan cost: this is the repo's largest composed plan, so a fresh
+session pays its full codegen once — measured 7.8-9.9 s single-shot at
+sf0.1 across three fresh JVMs (BENCH/METHODOLOGY.md "Cold-plan
+costs"); warm re-runs are ~2 s.  A one-time per-session cost, not a
+per-batch one — at 100 TB the same plan compiles once and runs for
+hours.
 """
 
 from __future__ import annotations

@@ -35,12 +35,34 @@ HOUR_KEY_FMT = "yyyy-MM-dd-HH"
 _HOUR_PY_FMT = "%Y-%m-%d-%H"
 
 
+def iceberg_runtime_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the JVM
+    classpath.  The environment this repo builds in has no jar
+    (re-verified each round), so the ``fmt='iceberg'`` switch fails
+    loudly instead of half-working; when a jar appears this probe
+    flips and the snapshot-based resume/retention path can be wired
+    and tested (SURVEY.md §1.3)."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — ClassNotFound via py4j
+        return False
+
+
 class HourPartitionedTable:
     def __init__(self, spark: SparkSession, path: str, fmt: str = "parquet"):
-        if fmt == "iceberg":  # pragma: no cover - jar not in this image
+        if fmt == "iceberg" and not iceberg_runtime_available(spark):
             raise NotImplementedError(
                 "Iceberg runtime jar not on the classpath; use fmt='parquet' "
                 "(identical layout/semantics, SURVEY.md §7)"
+            )
+        if fmt == "iceberg":  # pragma: no cover - jar not in this image
+            raise NotImplementedError(
+                "Iceberg jar detected but the snapshot write path is not "
+                "wired yet — implement write/scan/expire via the Iceberg "
+                "catalog API before using fmt='iceberg'"
             )
         self.spark = spark
         self.path = path

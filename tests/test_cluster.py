@@ -97,3 +97,28 @@ def test_connected_components_releases_checkpoints(spark):
     assert cc.count() == 5
     after = sc._jsc.getPersistentRDDs().size()
     assert after - before <= 1
+
+
+def test_cluster_keepers_quality_then_min_id(spark):
+    # keeper = highest quality_score in the cluster (NOT min id);
+    # quality ties fall back to min doc_id for determinism
+    from log_aggregation_pipeline_spark.operators.cluster import (
+        cluster_keepers,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running for a while longer"
+    )
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, good), (10, good), (11, good)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (10, 11)], "a_id long, b_id long"
+    )
+    got = {r.cluster_rep: r for r in cluster_keepers(docs, pairs).collect()}
+    assert got[1].keeper_id == 2  # better copy beats the min-id member
+    assert got[1].cluster_size == 2
+    assert got[10].keeper_id == 10  # equal quality -> min doc_id
+    assert got[1].keeper_quality > 0.5 > got[10].cluster_size * 0  # sanity

@@ -59,3 +59,33 @@ def test_shuffle_join_fallback_same_answer(spark):
     b = {(r.doc_id, r.n_shared) for r in
          contaminated_docs(train, ev, k=5, broadcast_eval=False).collect()}
     assert a == b
+
+
+def test_k13_profile_short_doc_exemption(spark):
+    """The published 13-gram profile (GPT3_K): a 13+-token verbatim
+    overlap flags, and a doc SHORTER than k tokens yields no shingles
+    so it is never flagged even when it is an exact substring of an
+    eval doc — the documented min-doc-length interaction."""
+    from log_aggregation_pipeline_spark.operators.decontam import (
+        GPT3_K,
+        contaminated_docs,
+    )
+
+    bench = " ".join(f"q{i}" for i in range(20))  # 20-token eval item
+    ev = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            # 13-token verbatim span of the benchmark -> flagged
+            (1, " ".join(f"q{i}" for i in range(13))),
+            # 12-token verbatim span: under k, zero shingles -> exempt
+            (2, " ".join(f"q{i}" for i in range(12))),
+            # unrelated long doc -> clean
+            (3, " ".join(f"w{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_shared
+        for r in contaminated_docs(train, ev, k=GPT3_K).collect()
+    }
+    assert got == {1: 1}

@@ -1,0 +1,59 @@
+"""Driver-contract registration invariants.
+
+The driver hash-checks only the FIRST ``DRIVER_WINDOW`` entries of
+``queries()`` per round, so registration ORDER is part of the
+correctness surface: a query pushed past the window silently loses its
+driver evidence (this bit round 3 — 13 queries including a brand-new
+operator went unverified).  These tests pin the rotation policy.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+# the 13 entries CORRECTNESS_r03 did NOT verify (positions 51-63 in
+# the round-3 registration order) plus every operator new in round 4 —
+# all of these MUST sit inside the driver window this round
+MUST_BE_IN_WINDOW = [
+    # round-3 unverified tail
+    "doc_lang_id",
+    "doc_lm_score",
+    "doc_fingerprint",
+    "emb_near_dup_pairs",
+    "ann_cosine_topk",
+    "ann_cosine_topk_blas",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_topk_ingest",
+    "bloom_point_lookup",
+    "media_decode_features",
+    # new in round 4
+    "doc_cluster_keepers",
+]
+
+
+def test_unverified_and_new_queries_inside_driver_window():
+    window = list(E.queries())[: E.DRIVER_WINDOW]
+    missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
+    assert not missing, f"outside the driver window: {missing}"
+
+
+def test_rotated_out_entries_still_registered():
+    # rotation defers a query's driver row; it must never drop the
+    # query (or its oracle) from the contract
+    q = E.queries()
+    o = E.oracle_sql()
+    for k in E._ROTATE_OUT_R4:
+        assert k in q and k in o
+
+
+def test_query_and_oracle_keys_in_sync():
+    q = set(E.queries())
+    o = set(E.oracle_sql())
+    # every oracle has a query; queries without an oracle are the
+    # documented rows-only set (data-derived oracles degrade lazily)
+    assert o <= q
+    rows_only_ok = {"ann_ivf_topk", "ann_ivf_topk_ingest", "doc_simhash_pairs"}
+    assert q - o <= rows_only_ok

@@ -142,3 +142,31 @@ def test_split_straddlers_column_reorder_safe(spark):
     a = sorted(map(key, split_straddlers(packed, 512).collect()))
     b = sorted(map(key, split_straddlers(reordered, 512).collect()))
     assert a == b and len(a) == 2
+
+
+def test_adaptive_n_shards_policy():
+    from log_aggregation_pipeline_spark.operators.packing import (
+        adaptive_n_shards,
+    )
+
+    assert adaptive_n_shards(0) == 16  # floor keeps small inputs parallel
+    assert adaptive_n_shards(16 * 50_000_000) == 16
+    assert adaptive_n_shards(100 * 50_000_000) == 100
+    # shard count grows with corpus size
+    assert adaptive_n_shards(10**12) > adaptive_n_shards(10**11) > 16
+
+
+def test_pack_sequences_adaptive_per_shard_mass_bounded(spark):
+    # 500 docs x 20 tokens = 10k tokens at target 500/shard -> 20
+    # shards; hashing is uniform so no shard carries a large multiple
+    # of the target
+    rows = [(i, " ".join(["w"] * 20)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(
+        df, capacity=64, n_shards=None, target_tokens_per_shard=500
+    )
+    from pyspark.sql import functions as F
+
+    agg = out.groupBy("shard").agg(F.sum("n_tokens").alias("m")).collect()
+    assert 10 < len(agg) <= 20  # ~total/target shards actually used
+    assert max(r.m for r in agg) < 4 * 500

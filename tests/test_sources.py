@@ -154,3 +154,28 @@ def test_compact_scratch_never_readable_and_debris_cleaned(spark, transcripts, t
     assert spark.read.parquet(table.path).count() == n
     assert not os.path.isdir(os.path.join(table.path, f"_compact_old_{hk}"))
     assert not os.path.isdir(os.path.join(table.path, f"_compact_tmp_{hk}"))
+
+
+def test_iceberg_format_switch_gated_on_jar(spark, tmp_path):
+    """SURVEY §1.3: the fmt='iceberg' switch is wired but environment-
+    gated — with no runtime jar it must fail loudly (never silently
+    fall back to parquet); the snapshot resume/retention tests activate
+    when a jar appears."""
+    import pytest
+
+    from log_aggregation_pipeline_spark.sources.table import (
+        HourPartitionedTable,
+        iceberg_runtime_available,
+    )
+
+    if iceberg_runtime_available(spark):
+        pytest.skip(
+            "Iceberg jar present — wire the snapshot write path and "
+            "replace this skip with real resume/retention tests"
+        )
+    with pytest.raises(NotImplementedError, match="Iceberg"):
+        HourPartitionedTable(spark, str(tmp_path / "t"), fmt="iceberg")
+    pytest.skip(
+        "Iceberg runtime jar absent from this image — fail-loudly "
+        "verified; snapshot tests pending a jar"
+    )

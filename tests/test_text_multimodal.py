@@ -141,3 +141,25 @@ def test_corpus_stats_known_distribution(spark):
     assert s1.p50_tokens == 25.0 and s1.p95_tokens == 38.5
     assert s1.mean_tokens == 25.0
     assert got["s2"].p50_tokens == 3.0 and got["s2"].n_docs == 1
+
+
+def test_lm_repetition_long_doc_not_quadratic(spark):
+    """A 60k-token doc with ~6k distinct tokens: the sorted-run form is
+    O(n log n) (sub-second); the old per-distinct-token scan was
+    O(distinct*total) ~ 3.6e8 HOF ops and took minutes.  A generous
+    wall bound keeps the test robust to host phase noise while still
+    failing hard on a quadratic regression."""
+    import time
+
+    from collections import Counter
+
+    words = [f"tok{i % 6000}" for i in range(60_000)]
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.perf_counter()
+    r = TA.lm_repetition_features(df).collect()[0]
+    assert time.perf_counter() - t0 < 30
+    c = Counter(words)
+    assert r.n_tokens == 60_000
+    assert r.top_tok_frac == round(max(c.values()) / 60_000, 6)
+    assert r.ttr == round(len(c) / 60_000, 6)
