@@ -116,6 +116,7 @@ _ROTATE_OUT_R4 = [
     "set_except_errors_tools",
     "pivot_role_level",
     "rollup_role_level",
+    "cube_role_tool",
 ]
 
 
@@ -466,6 +467,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "n_chars_m", "n_tokens", "punct_ratio", "alpha_ratio",
         "stop_ratio", "mean_tok_len", "quality_score",
     )
+    q["doc_gopher_quality"] = lambda s, d: text_analysis.gopher_rules(
+        _docs(s, d)
+    ).select(
+        "doc_id", "n_tokens", "mean_word_len", "symbol_ratio",
+        "bullet_frac", "ellipsis_frac", "alpha_word_frac", "stop_hits",
+        "gopher_pass",
+    )
     q["doc_lang_id"] = lambda s, d: text_analysis.lang_id(_docs(s, d)).select(
         "doc_id", "lang_pred", "lang_hits"
     )
@@ -739,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["doc_token_counts"] = oracle.token_counts_sql(text_analysis.BPEISH_PATTERN)
     o["doc_quality_features"] = oracle.quality_sql(text_analysis.STOPWORDS)
+    o["doc_gopher_quality"] = oracle.gopher_sql(text_analysis.GOPHER_STOPS)
     o["doc_lang_id"] = oracle.lang_id_sql(text_analysis.LANG_MARKERS)
     o["doc_lm_score"] = oracle.lm_repetition_sql()
     o["doc_fingerprint"] = oracle.fingerprint_sql()

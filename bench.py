@@ -248,6 +248,13 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         )
 
         timed("doc_corpus_stats", lambda: noop(corpus_stats(docs)))
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            gopher_rules,
+        )
+
+        timed("doc_gopher_quality", lambda: noop(gopher_rules(docs).select(
+            "doc_id", "mean_word_len", "alpha_word_frac", "stop_hits",
+            "gopher_pass")))
         timed("doc_redact", lambda: noop(redact(docs).select(
             "doc_id", "n_email", "n_ipv4", "n_secret", "redacted")))
         from log_aggregation_pipeline_spark.operators.decontam import (

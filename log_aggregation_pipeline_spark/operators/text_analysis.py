@@ -193,6 +193,85 @@ def lm_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style document quality rules
+# ---------------------------------------------------------------------------
+# The published MassiveText/Gopher curation recipe's stop set (Rae et
+# al. 2021, table A1): a doc must contain at least 2 of these to pass.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher/MassiveText repetition-independent quality gates as
+    one codegen projection — the published rule thresholds:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio (``#`` chars + ``...`` runs) <= 0.1
+    - <= 90% of lines start with a bullet, <= 30% end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 distinct stop words present (GOPHER_STOPS)
+
+    Line metrics split the RAW text on newlines (normalize_text
+    collapses them); word metrics share the whitespace-token
+    definition with the rest of the suite.  Every ratio is a single
+    integer-numerator division rounded to 6dp and the pass flag is
+    derived from the ROUNDED values, so the boolean reproduces
+    bit-identically in the DuckDB twin (repo float-oracle rule).
+    Pure HOF/regexp expressions, no shuffle — rides any scan."""
+    c = F.col(text_col)
+    out = (
+        df.withColumn("_norm", normalize_text(text_col))
+        .withColumn("_toks", F.split("_norm", " "))
+        .withColumn(
+            "_n",
+            F.when(F.col("_norm") == "", F.lit(0)).otherwise(F.size("_toks")),
+        )
+        .withColumn("_lines", F.split(c, "\n"))
+    )
+    n = F.col("_n")
+    n1 = F.greatest(n, F.lit(1))
+    n_lines = F.greatest(F.size("_lines"), F.lit(1))
+    sum_len = F.aggregate(
+        F.col("_toks"), F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = F.regexp_count(c, F.lit("#")) + F.regexp_count(
+        c, F.lit(r"\.\.\.")
+    )
+    n_alpha_w = F.size(F.filter(F.col("_toks"), lambda w: w.rlike("[a-z]")))
+    n_bullet = F.size(
+        F.filter(F.col("_lines"), lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(F.col("_lines"), lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    stop_hits = sum(
+        (F.array_contains("_toks", w).cast("int") for w in GOPHER_STOPS),
+        start=F.lit(0),
+    )
+    out = (
+        out.withColumn("n_tokens", n)
+        .withColumn("mean_word_len", F.round(sum_len / n1, 6))
+        .withColumn("symbol_ratio", F.round(n_symbols / n1, 6))
+        .withColumn("bullet_frac", F.round(n_bullet / n_lines, 6))
+        .withColumn("ellipsis_frac", F.round(n_ellipsis / n_lines, 6))
+        .withColumn("alpha_word_frac", F.round(n_alpha_w / n1, 6))
+        .withColumn("stop_hits", stop_hits)
+    )
+    gate = (
+        F.col("n_tokens").between(50, 100_000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("gopher_pass", gate).drop(
+        "_norm", "_toks", "_n", "_lines"
+    )
+
+
+# ---------------------------------------------------------------------------
 # language ID (n-gram/stopword heuristic)
 # ---------------------------------------------------------------------------
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

@@ -564,6 +564,56 @@ FROM documents
 """
 
 
+def gopher_sql(stops: tuple[str, ...]) -> str:
+    """Twin of text_analysis.gopher_rules — same integer numerators,
+    same single-division-then-round formulas, pass flag from the
+    ROUNDED ratios.  Line metrics split RAW text on chr(10) exactly as
+    the Spark side splits the raw column on \\n."""
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END)"
+        for w in stops
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    {N_TOKENS_SQL} AS n,
+    string_split({NORM_SQL}, ' ') AS t,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n,
+    list_sum(list_transform(t, x -> len(x))) AS sum_len,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
+    len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_w,
+    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullet,
+    len(list_filter(lines,
+                    l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ellipsis,
+    greatest(len(lines), 1) AS n_lines,
+    {stop_sum} AS stop_hits
+  FROM base
+),
+r AS (
+  SELECT doc_id, n AS n_tokens,
+    round(coalesce(sum_len, 0) * 1.0 / greatest(n, 1), 6) AS mean_word_len,
+    round(n_symbols * 1.0 / greatest(n, 1), 6) AS symbol_ratio,
+    round(n_bullet * 1.0 / n_lines, 6) AS bullet_frac,
+    round(n_ellipsis * 1.0 / n_lines, 6) AS ellipsis_frac,
+    round(n_alpha_w * 1.0 / greatest(n, 1), 6) AS alpha_word_frac,
+    stop_hits
+  FROM m
+)
+SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, bullet_frac,
+  ellipsis_frac, alpha_word_frac, stop_hits,
+  (n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+   AND stop_hits >= 2) AS gopher_pass
+FROM r
+"""
+
+
 def quality_sql(stopwords: tuple[str, ...]) -> str:
     stop_list = ", ".join(f"'{w}'" for w in stopwords)
     return f"""

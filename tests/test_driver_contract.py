@@ -31,6 +31,7 @@ MUST_BE_IN_WINDOW = [
     "media_decode_features",
     # new in round 4
     "doc_cluster_keepers",
+    "doc_gopher_quality",
 ]
 
 

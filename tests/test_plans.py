@@ -210,3 +210,16 @@ def test_trending_terms_single_count_shuffle(spark):
     )
     assert n_hash_exchanges <= 3
     assert "Exchange SinglePartition" not in p  # no global window
+
+
+def test_gopher_rules_is_projection(spark):
+    """The Gopher quality gates are per-row HOF/regexp expressions —
+    any Exchange/HashAggregate would mean a stray shuffle crept in."""
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        gopher_rules,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(gopher_rules(docs))
+    assert "Exchange" not in p
+    assert "HashAggregate" not in p

@@ -163,3 +163,38 @@ def test_lm_repetition_long_doc_not_quadratic(spark):
     assert r.n_tokens == 60_000
     assert r.top_tok_frac == round(max(c.values()) / 60_000, 6)
     assert r.ttr == round(len(c) / 60_000, 6)
+
+
+def test_gopher_rules_gates(spark):
+    """Each published gate trips on a doc crafted to violate exactly
+    it; a natural doc passes all seven."""
+    natural = (
+        "the results have to be reproducible and that means we work "
+        "with the same seeds and the same inputs every time so that "
+        "every run of the pipeline lands on identical outputs and the "
+        "report stays comparable across rounds of the evaluation " * 2
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    dots = "\n".join(f"line {i} trails off..." for i in range(20))
+    symbols = " ".join(["##tag"] * 60)
+    short = "the cat sat with that hat"
+    rows = [
+        (1, natural),
+        (2, bullets),   # bullet_frac 1.0 > 0.9
+        (3, dots),      # ellipsis_frac 1.0 > 0.3
+        (4, symbols),   # symbol_ratio 1.0 > 0.1
+        (5, short),     # 6 tokens < 50
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TA.gopher_rules(df).collect()}
+    assert got[1].gopher_pass
+    assert got[1].stop_hits >= 2 and got[1].alpha_word_frac == 1.0
+    assert not got[2].gopher_pass and got[2].bullet_frac == 1.0
+    assert not got[3].gopher_pass and got[3].ellipsis_frac == 1.0
+    assert not got[4].gopher_pass and got[4].symbol_ratio > 0.1
+    assert not got[5].gopher_pass and got[5].n_tokens == 6
+    # hand-checked metric: natural text mean word length
+    words = natural.split()
+    assert got[1].mean_word_len == round(
+        sum(len(w) for w in words) / len(words), 6
+    )
