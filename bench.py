@@ -106,7 +106,14 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
     # r3-vs-r2 false-alarm was a single best-of-2 sample per round.
     # Compare same-methodology columns across rounds
     # (BENCH/METHODOLOGY.md has the table).
+    def _median(ts: list[float]) -> float:
+        s = sorted(ts)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
     def timed(name, fn, reps: int = 3):
+        if reps < 1:
+            raise ValueError(f"reps must be >= 1, got {reps}")
         ts = []
         out = None
         for _ in range(reps):
@@ -116,7 +123,7 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         single_shot[name] = round(ts[0], 4)
         reps_log[name] = [round(t, 4) for t in ts]
         timings[name] = round(min(ts), 4)
-        medians[name] = round(sorted(ts)[len(ts) // 2], 4)
+        medians[name] = round(_median(ts), 4)
         spreads[name] = round(max(ts) - min(ts), 4)
         return out
 
@@ -141,6 +148,8 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
     factor = int(os.environ.get("SPARK_GRAFT_REPL", "10"))
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     big = replicate_transcripts(spark, sf_dir, factor)
+    if repeats < 1:
+        raise ValueError(f"SPARK_GRAFT_REPEATS must be >= 1, got {repeats}")
     ts = []
     for _ in range(repeats):
         out_dir = tempfile.mkdtemp(prefix="lap_bench_sustained_")
@@ -153,7 +162,7 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
     single_shot["pipeline_sustained"] = round(ts[0], 4)
     reps_log["pipeline_sustained"] = [round(t, 4) for t in ts]
     timings["pipeline_sustained"] = round(min(ts), 4)
-    medians["pipeline_sustained"] = round(sorted(ts)[len(ts) // 2], 4)
+    medians["pipeline_sustained"] = round(_median(ts), 4)
     spreads["pipeline_sustained"] = round(max(ts) - min(ts), 4)
     n_sustained = n_turns * factor
 

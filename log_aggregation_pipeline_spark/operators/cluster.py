@@ -187,8 +187,16 @@ def cluster_keepers(
     w = Window.partitionBy("cluster_rep").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
     )
+    # LEFT join: ``pairs`` may reference docs absent from ``docs``
+    # (pre-filtered corpus, stale pair snapshot).  An inner join would
+    # silently disqualify those members from the election — or drop a
+    # whole cluster — while cluster_size still reported full
+    # membership.  With the left join every member competes; unscored
+    # members rank after scored ones (desc() is NULLS LAST), an
+    # all-unscored cluster still elects its min-id member, and a
+    # NULL keeper_quality discloses that the keeper was never scored.
     return (
-        clusters.join(qual, "doc_id")
+        clusters.join(qual, "doc_id", "left")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(

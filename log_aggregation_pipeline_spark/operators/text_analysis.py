@@ -238,11 +238,14 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         c, F.lit(r"\.\.\.")
     )
     n_alpha_w = F.size(F.filter(F.col("_toks"), lambda w: w.rlike("[a-z]")))
+    # explicit [ \t] instead of \s: Java's \s includes \x0B, RE2's
+    # does not — the one dialect divergence that would flip the
+    # DuckDB-twin hash on a corpus containing vertical tabs
     n_bullet = F.size(
-        F.filter(F.col("_lines"), lambda l: l.rlike(r"^\s*[-*•]"))
+        F.filter(F.col("_lines"), lambda l: l.rlike(r"^[ \t]*[-*•]"))
     )
     n_ellipsis = F.size(
-        F.filter(F.col("_lines"), lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        F.filter(F.col("_lines"), lambda l: l.rlike(r"(\.\.\.|…)[ \t]*$"))
     )
     stop_hits = sum(
         (F.array_contains("_toks", w).cast("int") for w in GOPHER_STOPS),

@@ -587,9 +587,9 @@ m AS (
     len(regexp_extract_all(text, '#'))
       + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
     len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_w,
-    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS n_bullet,
     len(list_filter(lines,
-                    l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ellipsis,
+                    l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$'))) AS n_ellipsis,
     greatest(len(lines), 1) AS n_lines,
     {stop_sum} AS stop_hits
   FROM base

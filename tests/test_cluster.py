@@ -121,4 +121,25 @@ def test_cluster_keepers_quality_then_min_id(spark):
     assert got[1].keeper_id == 2  # better copy beats the min-id member
     assert got[1].cluster_size == 2
     assert got[10].keeper_id == 10  # equal quality -> min doc_id
-    assert got[1].keeper_quality > 0.5 > got[10].cluster_size * 0  # sanity
+    # both keepers carry the 'good' text -> identical quality score
+    assert got[1].keeper_quality == got[10].keeper_quality > 0.5
+
+
+def test_cluster_keepers_members_missing_from_docs(spark):
+    # pairs may reference docs absent from the docs side (pre-filtered
+    # corpus / stale pair snapshot): those members still compete but
+    # rank after scored ones; an all-unscored cluster elects its
+    # min-id member with a NULL keeper_quality disclosing it;
+    # cluster_size always reports full pair-derived membership
+    from log_aggregation_pipeline_spark.operators.cluster import (
+        cluster_keepers,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 99), (50, 60)], "a_id long, b_id long"
+    )
+    got = {r.cluster_rep: r for r in cluster_keepers(docs, pairs).collect()}
+    assert got[1].keeper_id == 1 and got[1].cluster_size == 2
+    assert got[1].keeper_quality is not None
+    assert got[50].keeper_id == 50 and got[50].keeper_quality is None

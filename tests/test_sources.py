@@ -173,9 +173,7 @@ def test_iceberg_format_switch_gated_on_jar(spark, tmp_path):
             "Iceberg jar present — wire the snapshot write path and "
             "replace this skip with real resume/retention tests"
         )
+    # jar absent: the switch must fail loudly (this PASSES — the
+    # skipped leg is only the jar-present snapshot suite above)
     with pytest.raises(NotImplementedError, match="Iceberg"):
         HourPartitionedTable(spark, str(tmp_path / "t"), fmt="iceberg")
-    pytest.skip(
-        "Iceberg runtime jar absent from this image — fail-loudly "
-        "verified; snapshot tests pending a jar"
-    )
