@@ -51,7 +51,10 @@ from log_aggregation_pipeline_spark.operators.parse import parse_kv
 from log_aggregation_pipeline_spark.operators.route import ROUTES, route_one
 from log_aggregation_pipeline_spark.operators.search_syntax import compile_query
 from log_aggregation_pipeline_spark.operators.transform import build_chain
-from log_aggregation_pipeline_spark.plans.corpus_prep import corpus_prep_funnel
+from log_aggregation_pipeline_spark.plans.corpus_prep import (
+    corpus_prep_funnel,
+    corpus_prep_funnel_neardup,
+)
 from log_aggregation_pipeline_spark.sources.transcripts import (
     transcripts_cte,
     transcripts_from_events,
@@ -117,6 +120,7 @@ _ROTATE_OUT_R4 = [
     "pivot_role_level",
     "rollup_role_level",
     "cube_role_tool",
+    "top5_convs_per_role",
 ]
 
 
@@ -429,6 +433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_prep_funnel"] = lambda s, d: corpus_prep_funnel(
         _docs(s, d), quality_min=1.0, decontam_k=DECONTAM_K, n_eval=N_EVAL
     )
+    # v2: near-dup cluster-keeper stage between exact dedup and the
+    # quality floor — the full pretraining curation recipe
+    q["corpus_prep_funnel_neardup"] = lambda s, d: corpus_prep_funnel_neardup(
+        _docs(s, d), quality_min=1.0, jaccard_k=JACCARD_K,
+        jaccard_t=JACCARD_T, max_shingle_freq=SHINGLE_CAP,
+        decontam_k=DECONTAM_K, n_eval=N_EVAL,
+    )
     q["doc_top_ngrams"] = lambda s, d: text_analysis.top_ngrams(
         _docs(s, d), k=JACCARD_K, top=20
     )
@@ -740,6 +751,11 @@ def oracle_sql() -> dict[str, str]:
     o["events_spike_detection"] = oracle.spike_detection_sql()
     o["corpus_prep_funnel"] = oracle.corpus_prep_sql(
         text_analysis.STOPWORDS, quality_min=1.0, k=DECONTAM_K, n_eval=N_EVAL
+    )
+    o["corpus_prep_funnel_neardup"] = oracle.corpus_prep_neardup_sql(
+        text_analysis.STOPWORDS, quality_min=1.0, jaccard_k=JACCARD_K,
+        jaccard_t=JACCARD_T, max_shingle_freq=SHINGLE_CAP,
+        k=DECONTAM_K, n_eval=N_EVAL,
     )
     o["doc_top_ngrams"] = oracle.top_ngrams_sql(JACCARD_K, top=20)
     o["emb_rp_project"] = oracle.rp_project_sql(

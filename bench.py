@@ -304,6 +304,13 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
             chunk_documents(docs, CHUNK_TOKENS, CHUNK_OVERLAP)))
         # composed dedup+quality+decontam funnel — the multi-op plan
         timed("corpus_prep_funnel", lambda: noop(corpus_prep_funnel(docs)))
+        from log_aggregation_pipeline_spark.plans.corpus_prep import (
+            corpus_prep_funnel_neardup,
+        )
+
+        # v2: adds the jaccard-pairs + CC + keeper-election stage
+        timed("corpus_prep_funnel_neardup",
+              lambda: noop(corpus_prep_funnel_neardup(docs)))
 
     spark.stop()
     total = round(sum(timings.values()), 4)

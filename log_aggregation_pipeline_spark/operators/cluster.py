@@ -152,6 +152,42 @@ def dup_clusters(
     )
 
 
+def _ranked_members(
+    docs: DataFrame,
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cluster membership + per-cluster quality rank (rn=1 is the
+    keeper).  Shared core of cluster_keepers / cluster_drop_list so
+    the election spec lives in exactly one window definition."""
+    from pyspark.sql import Window
+
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    clusters = dup_clusters(pairs, a_col, b_col)  # id column: doc_id
+    qual = quality_features(docs).select(
+        F.col(id_col).alias("doc_id"), "quality_score"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    # LEFT join: ``pairs`` may reference docs absent from ``docs``
+    # (pre-filtered corpus, stale pair snapshot).  An inner join would
+    # silently disqualify those members from the election — or drop a
+    # whole cluster — while cluster_size still reported full
+    # membership.  With the left join every member competes; unscored
+    # members rank after scored ones (desc() is NULLS LAST), an
+    # all-unscored cluster still elects its min-id member, and a
+    # NULL keeper_quality discloses that the keeper was never scored.
+    return clusters.join(qual, "doc_id", "left").withColumn(
+        "rn", F.row_number().over(w)
+    )
+
+
 def cluster_keepers(
     docs: DataFrame,
     pairs: DataFrame,
@@ -174,30 +210,8 @@ def cluster_keepers(
     count, bounded by the biggest near-dup cluster, with AQE skew
     handling as the backstop exactly as in dup_clusters.  Returns
     (cluster_rep, keeper_id, cluster_size, keeper_quality)."""
-    from pyspark.sql import Window
-
-    from log_aggregation_pipeline_spark.operators.text_analysis import (
-        quality_features,
-    )
-
-    clusters = dup_clusters(pairs, a_col, b_col)  # id column: doc_id
-    qual = quality_features(docs).select(
-        F.col(id_col).alias("doc_id"), "quality_score"
-    )
-    w = Window.partitionBy("cluster_rep").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
-    )
-    # LEFT join: ``pairs`` may reference docs absent from ``docs``
-    # (pre-filtered corpus, stale pair snapshot).  An inner join would
-    # silently disqualify those members from the election — or drop a
-    # whole cluster — while cluster_size still reported full
-    # membership.  With the left join every member competes; unscored
-    # members rank after scored ones (desc() is NULLS LAST), an
-    # all-unscored cluster still elects its min-id member, and a
-    # NULL keeper_quality discloses that the keeper was never scored.
     return (
-        clusters.join(qual, "doc_id", "left")
-        .withColumn("rn", F.row_number().over(w))
+        _ranked_members(docs, pairs, a_col, b_col, id_col)
         .filter(F.col("rn") == 1)
         .select(
             "cluster_rep",
@@ -205,4 +219,22 @@ def cluster_keepers(
             "cluster_size",
             F.col("quality_score").alias("keeper_quality"),
         )
+    )
+
+
+def cluster_drop_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The complement of ``cluster_keepers``: every cluster member
+    that LOST the election (rn > 1) — the ids a near-dup dedup pass
+    anti-joins away.  Same election window, so keepers + drop list
+    exactly partition the pair-derived membership."""
+    return (
+        _ranked_members(docs, pairs, a_col, b_col, id_col)
+        .filter(F.col("rn") > 1)
+        .select(F.col("doc_id").alias(id_col))
     )

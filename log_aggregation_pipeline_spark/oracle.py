@@ -287,8 +287,9 @@ qual AS (SELECT doc_id, quality_score FROM ({quality_sql_text})),
 ranked AS (
   SELECT c.cluster_rep, c.doc_id, c.cluster_size, q.quality_score,
          row_number() OVER (PARTITION BY c.cluster_rep
-                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
-  FROM clusters c JOIN qual q USING (doc_id)
+                            ORDER BY q.quality_score DESC NULLS LAST,
+                                     c.doc_id ASC) AS rn
+  FROM clusters c LEFT JOIN qual q USING (doc_id)
 )
 SELECT cluster_rep, doc_id AS keeper_id, cluster_size,
        quality_score AS keeper_quality
@@ -438,6 +439,103 @@ clean AS (
 )
 SELECT (SELECT count(*) FROM documents) AS n_docs,
        (SELECT count(*) FROM keep) AS n_keepers,
+       (SELECT count(*) FROM qual) AS n_quality,
+       (SELECT count(*) FROM clean) AS n_clean,
+       (SELECT cast(coalesce(sum(n), 0) AS BIGINT) FROM clean)
+         AS clean_tokens
+"""
+
+
+def corpus_prep_neardup_sql(
+    stopwords,
+    quality_min: float,
+    jaccard_k: int,
+    jaccard_t: float,
+    max_shingle_freq: int,
+    k: int,
+    n_eval: int,
+) -> str:
+    """Near-dup funnel twin: exact keepers -> jaccard pairs over the
+    keeper subset -> recursive-CTE components -> quality-elected drop
+    list (DESC NULLS LAST matches Spark's desc() null ordering —
+    DuckDB's bare DESC is NULLS FIRST) -> quality floor -> eval
+    removal -> decontamination."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(jaccard_k))
+    return f"""
+WITH RECURSIVE
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({NORM_SQL})
+),
+ktoks AS (
+  SELECT d.doc_id, string_split({NORM_SQL}, ' ') AS t
+  FROM documents d JOIN keep USING (doc_id)
+),
+ksh AS (
+  SELECT doc_id,
+         list_distinct([ {gram}
+                         for i in range(1, len(t) - {jaccard_k - 2}) ])
+           AS shingles
+  FROM ktoks WHERE len(t) >= {jaccard_k}
+),
+kex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM ksh),
+kcapped AS (
+  SELECT * FROM kex WHERE s IN (
+    SELECT s FROM kex GROUP BY s HAVING count(*) <= {max_shingle_freq})
+),
+kcommon AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS n_common, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM kcapped a JOIN kcapped b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM kcommon
+  WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= {jaccard_t}
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+comp AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+qscore AS (
+  SELECT doc_id, quality_score FROM ({quality_sql(stopwords)})
+),
+ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.rep
+                            ORDER BY q.quality_score DESC NULLS LAST,
+                                     c.doc_id ASC) AS rn
+  FROM comp c LEFT JOIN qscore q USING (doc_id)
+),
+nd AS (
+  SELECT doc_id FROM keep
+  WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+),
+qual AS (
+  SELECT q.doc_id FROM qscore q JOIN nd USING (doc_id)
+  WHERE q.quality_score >= {quality_min}
+),
+eval_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id LIMIT {n_eval}
+),
+cont AS (SELECT doc_id FROM ({decontaminate_sql(k, n_eval)})),
+clean AS (
+  SELECT d.doc_id, {N_TOKENS_SQL} AS n
+  FROM documents d
+  JOIN qual USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM eval_ids)
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM keep) AS n_exact,
+       (SELECT count(*) FROM nd) AS n_neardup,
        (SELECT count(*) FROM qual) AS n_quality,
        (SELECT count(*) FROM clean) AS n_clean,
        (SELECT cast(coalesce(sum(n), 0) AS BIGINT) FROM clean)

@@ -81,3 +81,83 @@ def corpus_prep_funnel(
             )
         )
     )
+
+
+def corpus_prep_funnel_neardup(
+    docs: DataFrame,
+    quality_min: float = 1.0,
+    jaccard_k: int = 3,
+    jaccard_t: float = 0.4,
+    max_shingle_freq: int | None = 1000,
+    decontam_k: int = 5,
+    n_eval: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The funnel with a NEAR-dup stage between exact dedup and the
+    quality floor — the full curation recipe a pretraining run uses:
+
+    exact keepers -> n-gram-Jaccard pairs over the keepers ->
+    quality-elected cluster keepers (losers anti-joined away) ->
+    quality floor -> eval removal -> decontamination.
+
+    Single-row report: (n_docs, n_exact, n_neardup, n_quality,
+    n_clean, clean_tokens).
+
+    Composition notes on top of ``corpus_prep_funnel``'s:
+    - pairs are computed over the EXACT keepers (identical copies are
+      already collapsed, so the pair stage never wastes shingle work
+      on them — and tiny docs below the shingle size, which the
+      jaccard stage cannot see, were already handled by the exact
+      stage);
+    - the drop list reuses cluster_keepers' election window
+      (``cluster_drop_list``), so "keeper" means the same thing in
+      both report columns and the dedup filter;
+    - decontamination stays a per-doc property vs the eval set, so
+      flagging the full corpus and anti-joining remains equivalent to
+      flagging the filtered set (same argument as the v1 funnel).
+    """
+    from log_aggregation_pipeline_spark.operators.cluster import (
+        cluster_drop_list,
+    )
+    from log_aggregation_pipeline_spark.operators.dedupe import (
+        ngram_jaccard_pairs,
+    )
+
+    exact = exact_dedup_rows(docs, text_col=text_col, id_col=id_col)
+    pairs = ngram_jaccard_pairs(
+        exact, k=jaccard_k, threshold=jaccard_t,
+        max_shingle_freq=max_shingle_freq, text_col=text_col,
+        id_col=id_col,
+    )
+    drop = cluster_drop_list(exact, pairs, id_col=id_col)
+    neardup = exact.join(drop, id_col, "left_anti")
+    qual = quality_features(neardup, text_col=text_col).filter(
+        F.col("quality_score") >= quality_min
+    )
+    ev = eval_split(docs, n_eval, id_col)
+    flagged = contaminated_docs(
+        docs.join(ev.select(id_col), id_col, "left_anti"),
+        ev,
+        k=decontam_k,
+        text_col=text_col,
+        id_col=id_col,
+    ).select(id_col)
+    clean = (
+        qual.join(ev.select(id_col), id_col, "left_anti")
+        .join(flagged, id_col, "left_anti")
+    )
+    return (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+        .crossJoin(neardup.agg(F.count("*").alias("n_neardup")))
+        .crossJoin(qual.agg(F.count("*").alias("n_quality")))
+        .crossJoin(
+            clean.agg(
+                F.count("*").alias("n_clean"),
+                F.coalesce(
+                    F.sum(whitespace_token_count(text_col)), F.lit(0)
+                ).cast("long").alias("clean_tokens"),
+            )
+        )
+    )

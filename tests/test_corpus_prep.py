@@ -32,3 +32,32 @@ def test_funnel_stages_monotone_and_correct(spark):
         assert row.clean_tokens == 0
     else:
         assert row.clean_tokens > 0
+
+
+def test_neardup_funnel_drops_cluster_losers(spark):
+    """v2 funnel: near-dup members that lose the quality election are
+    dropped between the exact stage and the quality floor."""
+    from log_aggregation_pipeline_spark.plans.corpus_prep import (
+        corpus_prep_funnel_neardup,
+    )
+
+    near = GOOD.replace("lazy", "sleepy")  # high-jaccard variant of GOOD
+    docs = [
+        (0, GOOD),                     # near-dup cluster {0, 2}
+        (1, GOOD),                     # exact dup of 0 -> exact stage
+        (2, near),                     # loses to 0 (equal quality, min id)
+        (3, "x " * 5),                 # survives dedup, fails the floor
+        (4, "completely different text about other things entirely "
+            "with many of the usual stop words in it for a while"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = corpus_prep_funnel_neardup(
+        df, quality_min=0.9, jaccard_k=3, jaccard_t=0.4,
+        max_shingle_freq=None, decontam_k=5, n_eval=1,
+    ).first()
+    assert row.n_docs == 5
+    assert row.n_exact == 4            # 1 collapsed into 0
+    assert row.n_neardup == 3          # 2 lost the cluster election
+    assert row.n_quality == 2          # 3 fails the floor -> {0, 4}
+    assert row.n_docs >= row.n_exact >= row.n_neardup >= row.n_quality
+    assert row.n_quality >= row.n_clean >= 0

@@ -32,6 +32,7 @@ MUST_BE_IN_WINDOW = [
     # new in round 4
     "doc_cluster_keepers",
     "doc_gopher_quality",
+    "corpus_prep_funnel_neardup",
 ]
 
 
