@@ -289,3 +289,83 @@ def test_chunking_matches_window_model(n_toks, params):
         rows = sorted(got[d], key=lambda r: r.chunk_idx)
         assert [(r.chunk_idx, r.chunk_text.split(" ")) for r in rows] == expect
         assert all(r.n_tokens == len(e[1]) for r, e in zip(rows, expect))
+
+
+# ---------------------------------------------------------------------------
+# cluster keeper election vs a union-find + argmax reference
+# ---------------------------------------------------------------------------
+_GOOD_TEXT = (
+    "the quick brown fox jumps over the lazy dog and then it runs far "
+    "away into the woods to rest for a while in the shade of an oak"
+)
+_BAD_TEXT = "x"
+_qcache: dict[str, float] = {}
+
+
+def _quality_of(text: str) -> float:
+    if text not in _qcache:
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            quality_features,
+        )
+
+        df = _get_spark().createDataFrame(
+            [(0, text)], "doc_id long, text string"
+        )
+        _qcache[text] = quality_features(df).collect()[0].quality_score
+    return _qcache[text]
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1, max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    good=st.sets(st.integers(0, 15)),
+)
+@settings(max_examples=6, deadline=None)
+def test_cluster_keepers_match_model(edges, good):
+    from log_aggregation_pipeline_spark.operators.cluster import (
+        cluster_keepers,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({n for e in edges for n in e})
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(n, _GOOD_TEXT if n in good else _BAD_TEXT) for n in nodes],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        r.cluster_rep: (r.keeper_id, r.cluster_size)
+        for r in cluster_keepers(docs, pairs).collect()
+    }
+
+    qg, qb = _quality_of(_GOOD_TEXT), _quality_of(_BAD_TEXT)
+    assert qg > qb  # precondition of the model
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for n in nodes:
+        comps.setdefault(
+            min(m for m in nodes if find(m) == find(n)), []
+        ).append(n)
+    expect = {
+        rep: (
+            min(ms, key=lambda n: (-(qg if n in good else qb), n)),
+            len(ms),
+        )
+        for rep, ms in comps.items()
+    }
+    assert got == expect
