@@ -116,7 +116,14 @@ def corpus_prep_funnel_neardup(
     - decontamination stays a per-doc property vs the eval set, so
       flagging the full corpus and anti-joining remains equivalent to
       flagging the filtered set (same argument as the v1 funnel).
-    """
+
+    Plan notes: the only nested-loop joins are the 1x1 crossJoins of
+    the single-row report aggregates (free by construction; pinned
+    no-CartesianProduct in tests/test_plans.py).  The exact-keeper
+    sub-plan is recomputed by several stages (~5 extra column-pruned
+    scans); at 100 TB, materialize the keeper set to parquet between
+    stages instead (the plans/pipeline.py write-then-reread idiom —
+    measured faster than persist() for wide frames)."""
     from log_aggregation_pipeline_spark.operators.cluster import (
         cluster_drop_list,
     )

@@ -223,3 +223,16 @@ def test_gopher_rules_is_projection(spark):
     p = plan_of(gopher_rules(docs))
     assert "Exchange" not in p
     assert "HashAggregate" not in p
+
+
+def test_neardup_funnel_no_cartesian(spark):
+    """The v2 funnel's only nested-loop joins are the 1x1 crossJoins
+    of single-row report aggregates; a CartesianProduct would mean a
+    data-sized join lost its equi-key."""
+    from log_aggregation_pipeline_spark.plans.corpus_prep import (
+        corpus_prep_funnel_neardup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(corpus_prep_funnel_neardup(docs))
+    assert "CartesianProduct" not in p
