@@ -121,6 +121,7 @@ _ROTATE_OUT_R4 = [
     "rollup_role_level",
     "cube_role_tool",
     "top5_convs_per_role",
+    "kv_fields_exploded",
 ]
 
 
@@ -424,6 +425,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_redact_stats"] = _redact_stats
+
+    def _markup_strip(s, d):
+        # deterministic markup augmentation (oracle.MARKUP_AUG_SQL
+        # twin): the corpus has no natural HTML, so both sides wrap
+        # the text in the same doc_id-derived tags/entities
+        did = F.col("doc_id")
+        aug = _docs(s, d).select(
+            "doc_id",
+            F.concat(
+                F.lit('<div id="d'), did.cast("string"), F.lit('"><p>'),
+                F.col("text"),
+                F.lit("</p>"),
+                F.when(did % 2 == 0,
+                       F.lit("<script>var x = 1;</script>")).otherwise(
+                    F.lit("")
+                ),
+                F.when(did % 3 == 0, F.lit("<!-- dropped -->")).otherwise(
+                    F.lit("")
+                ),
+                F.lit(" &amp; tail &lt;ok&gt;</div>"),
+            ).alias("t"),
+        )
+        out = text_analysis.strip_markup(aug, "t", out_col="clean")
+        return out.select(
+            "doc_id",
+            F.col("n_tags").cast("long").alias("n_tags"),
+            F.md5("clean").alias("clean_md5"),
+        )
+
+    q["doc_markup_strip"] = _markup_strip
     q["trending_error_codes"] = lambda s, d: trending_terms(
         _parsed(s, d), "error_code", interval="day", top_k=5
     )
@@ -741,6 +772,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["doc_decontaminate"] = oracle.decontaminate_sql(DECONTAM_K, N_EVAL)
     o["doc_redact_stats"] = oracle.redact_stats_sql(redact.REDACTIONS)
+    o["doc_markup_strip"] = oracle.strip_markup_sql(
+        text_analysis._MARKUP_BLOCKS,
+        text_analysis._MARKUP_TAG,
+        text_analysis._MARKUP_ENTITIES,
+        text_analysis._WS_CLASS,
+    )
     o["doc_corpus_stats"] = oracle.corpus_stats_sql()
     o["doc_chunks"] = oracle.chunk_documents_sql(CHUNK_TOKENS, CHUNK_OVERLAP)
     o["doc_pack_sequences"] = oracle.pack_sequences_sql(PACK_CAP, PACK_SHARDS)

@@ -266,6 +266,12 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
             "gopher_pass")))
         timed("doc_redact", lambda: noop(redact(docs).select(
             "doc_id", "n_email", "n_ipv4", "n_secret", "redacted")))
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            strip_markup,
+        )
+
+        timed("doc_markup_strip", lambda: noop(strip_markup(docs).select(
+            "doc_id", "n_tags", "clean_text")))
         from log_aggregation_pipeline_spark.operators.decontam import (
             eval_split,
         )

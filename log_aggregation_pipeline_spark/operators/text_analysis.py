@@ -304,6 +304,56 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# markup / boilerplate stripping
+# ---------------------------------------------------------------------------
+# All patterns in the Java ∩ RE2 dialect (no lookaround/backrefs;
+# inline (?i) and [\s\S] non-greedy blocks are fine in both).  The
+# whitespace class is written out explicitly ([ \t\n\x0B\f\r]) instead
+# of \s — Java's \s includes \x0B, RE2's does not (repo gotcha).
+_MARKUP_BLOCKS = (
+    r"(?i)<script[^>]*>[\s\S]*?</script>",
+    r"(?i)<style[^>]*>[\s\S]*?</style>",
+    r"<!--[\s\S]*?-->",
+)
+_MARKUP_TAG = r"</?[a-zA-Z][^>]*>"
+# unescape order matters: &amp; LAST, or '&amp;lt;' double-unescapes
+_MARKUP_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+_WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """HTML/markup boilerplate removal — the cleaning pass a web-crawl
+    pretraining corpus runs before tokenization: drop script/style
+    blocks and comments wholesale, strip remaining tags, unescape the
+    common entities, collapse whitespace.  Adds ``out_col`` plus
+    ``n_tags`` (tag count BEFORE stripping — the signal for "was this
+    doc markup-heavy").  Pure chained regexp_replace codegen — rides
+    any scan, no shuffle; identical regex chain in the DuckDB twin
+    (oracle.strip_markup_sql)."""
+    c = F.col(text_col)
+    n_tags = F.regexp_count(c, F.lit(_MARKUP_TAG))
+    cleaned = c
+    for pat in _MARKUP_BLOCKS:
+        cleaned = F.regexp_replace(cleaned, pat, " ")
+    cleaned = F.regexp_replace(cleaned, _MARKUP_TAG, " ")
+    for ent, repl in _MARKUP_ENTITIES:
+        # literal replacement: escape nothing — entity strings are
+        # regex-safe except '&', which is literal in both dialects
+        cleaned = F.regexp_replace(cleaned, ent, repl)
+    cleaned = F.trim(F.regexp_replace(cleaned, _WS_CLASS, " "))
+    return df.withColumn("n_tags", n_tags).withColumn(out_col, cleaned)
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
 def fingerprint(col: Column | str) -> Column:

@@ -622,6 +622,46 @@ HAVING count(*) >= {min_overlap}
 """
 
 
+# deterministic markup augmentation (strip_markup twin): the synthetic
+# corpus has no natural HTML, so both sides wrap the text in the same
+# doc_id-derived tags/entities and the strip chain is actually
+# exercised (same idiom as the redaction AUG_SQL below)
+MARKUP_AUG_SQL = (
+    "'<div id=\"d' || cast(doc_id AS VARCHAR) || '\"><p>' || text || "
+    "'</p>' || "
+    "CASE WHEN doc_id % 2 = 0 THEN '<script>var x = 1;</script>' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '<!-- dropped -->' ELSE '' END || "
+    "' &amp; tail &lt;ok&gt;</div>'"
+)
+
+
+def strip_markup_sql(
+    blocks: tuple[str, ...],
+    tag: str,
+    entities: tuple[tuple[str, str], ...],
+    ws_class: str,
+) -> str:
+    """Twin of text_analysis.strip_markup over the augmented text:
+    identical regex chain in the same order, 'g' flag matching Spark's
+    replace-all default."""
+    red = "t"
+    for pat in blocks:
+        red = f"regexp_replace({red}, '{pat}', ' ', 'g')"
+    red = f"regexp_replace({red}, '{tag}', ' ', 'g')"
+    for ent, repl in entities:
+        r = repl.replace("'", "''")
+        red = f"regexp_replace({red}, '{ent}', '{r}', 'g')"
+    red = f"trim(regexp_replace({red}, '{ws_class}', ' ', 'g'))"
+    return f"""
+WITH aug AS (SELECT doc_id, {MARKUP_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+  cast(len(regexp_extract_all(t, '{tag}')) AS BIGINT) AS n_tags,
+  md5({red}) AS clean_md5
+FROM aug
+"""
+
+
 AUG_SQL = (
     "concat_ws(' ', text, "
     "'contact user' || cast(doc_id AS VARCHAR) || '@example.com', "

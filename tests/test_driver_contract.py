@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = [
     "doc_cluster_keepers",
     "doc_gopher_quality",
     "corpus_prep_funnel_neardup",
+    "doc_markup_strip",
 ]
 
 

@@ -198,3 +198,20 @@ def test_gopher_rules_gates(spark):
     assert got[1].mean_word_len == round(
         sum(len(w) for w in words) / len(words), 6
     )
+
+
+def test_strip_markup(spark):
+    rows = [
+        (1, '<div class="a"><p>Hello &amp; <b>world</b></p>'
+            '<script>var x=1;\nvar y=2;</script><!-- note --></div>'),
+        (2, "plain text no markup"),
+        # escaped markup must survive as TEXT: tags are stripped
+        # before entities are unescaped
+        (3, "a &lt;tag&gt; literal &quot;q&quot; &#39;s&#39;&nbsp;joined"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TA.strip_markup(df).collect()}
+    assert got[1].clean_text == "Hello & world"
+    assert got[1].n_tags == 8
+    assert got[2].clean_text == "plain text no markup" and got[2].n_tags == 0
+    assert got[3].clean_text == 'a <tag> literal "q" \'s\' joined'
