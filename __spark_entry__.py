@@ -122,6 +122,7 @@ _ROTATE_OUT_R4 = [
     "cube_role_tool",
     "top5_convs_per_role",
     "kv_fields_exploded",
+    "sessionize_30m",
 ]
 
 
@@ -531,6 +532,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_near_dup_pairs"] = lambda s, d: dedupe.embedding_near_dup_pairs_blocked(
         _emb(s, d), threshold=EMB_NEAR_T
     )
+    # CC is generic over pair sets: same cluster resolution, embedding
+    # near-dup pairs as the edge source
+    q["emb_dup_clusters"] = lambda s, d: cluster.dup_clusters(
+        dedupe.embedding_near_dup_pairs_blocked(_emb(s, d), threshold=EMB_NEAR_T)
+    ).select(
+        F.col("doc_id").alias("vec_id"), "cluster_rep", "cluster_size"
+    )
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_topk(
         _emb(s, d), _query_vec(s, d), k=ANN_K
     )
@@ -805,6 +813,11 @@ def oracle_sql() -> dict[str, str]:
     o["doc_lm_score"] = oracle.lm_repetition_sql()
     o["doc_fingerprint"] = oracle.fingerprint_sql()
     o["emb_near_dup_pairs"] = oracle.embedding_near_dup_sql(EMB_NEAR_T)
+    o["emb_dup_clusters"] = (
+        "SELECT doc_id AS vec_id, cluster_rep, cluster_size FROM ("
+        + oracle.dup_clusters_sql(oracle.embedding_near_dup_sql(EMB_NEAR_T))
+        + ")"
+    )
     o["ann_cosine_topk"] = oracle.ann_topk_sql(ANN_QUERY_VEC, ANN_K)
     o["ann_cosine_topk_blas"] = oracle.ann_topk_sql(ANN_QUERY_VEC, ANN_K)
     # minhash-LSH output = exact-verified pairs; at 64x16 bands the

@@ -34,6 +34,7 @@ MUST_BE_IN_WINDOW = [
     "doc_gopher_quality",
     "corpus_prep_funnel_neardup",
     "doc_markup_strip",
+    "emb_dup_clusters",
 ]
 
 
