@@ -220,3 +220,52 @@ def test_session_counts_match_batch_sessionize(spark, tmp_path):
     # sessions may be held open, so compare the closed subset
     assert set(got) <= set(exp)
     assert ("A", 3) in got  # conv A's first session closed by the gap
+
+
+def test_projection_operators_compose_with_streams(spark, tmp_path):
+    """The r4 curation projections (strip_markup, gopher_rules) are
+    pure per-row expressions, so they must run UNCHANGED on a
+    streaming DataFrame and agree with their batch results — the
+    operator-on-stream composability contract."""
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        gopher_rules,
+        strip_markup,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    rows = [
+        (1, "<p>the quick brown fox jumps over the lazy dog and then "
+            "it naps in the shade of the old tree for a while</p>"),
+        (2, "- bullet line\n- another bullet"),
+        (3, "plain &amp; simple"),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_df.repartition(2).write.parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    out = gopher_rules(strip_markup(stream), text_col="clean_text").select(
+        "doc_id", "n_tags", "clean_text", "n_tokens", "gopher_pass"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curation_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.doc_id: r
+        for r in spark.sql("select * from curation_stream").collect()
+    }
+    exp = {
+        r.doc_id: r
+        for r in gopher_rules(
+            strip_markup(batch_df), text_col="clean_text"
+        ).select(
+            "doc_id", "n_tags", "clean_text", "n_tokens", "gopher_pass"
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in exp.items()
+    }
+    assert got[3].clean_text == "plain & simple"
