@@ -338,7 +338,12 @@ def strip_markup(
     ``n_tags`` (tag count BEFORE stripping — the signal for "was this
     doc markup-heavy").  Pure chained regexp_replace codegen — rides
     any scan, no shuffle; identical regex chain in the DuckDB twin
-    (oracle.strip_markup_sql)."""
+    (oracle.strip_markup_sql).
+
+    Regex-level stripping, not an HTML parser: an attribute value
+    containing ``>`` splits its tag early (the classic regex/HTML
+    limit) — the right trade for corpus cleaning throughput; route
+    documents needing DOM fidelity through a parser UDF instead."""
     c = F.col(text_col)
     n_tags = F.regexp_count(c, F.lit(_MARKUP_TAG))
     cleaned = c
