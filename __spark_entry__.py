@@ -123,6 +123,7 @@ _ROTATE_OUT_R4 = [
     "top5_convs_per_role",
     "kv_fields_exploded",
     "sessionize_30m",
+    "date_histogram_day",
 ]
 
 
@@ -489,6 +490,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                n_shards=PACK_SHARDS),
         capacity=PACK_CAP,
     )
+    # dataset card: per-source rollup of the curation signals
+    from log_aggregation_pipeline_spark.plans.dataset_card import (
+        dataset_card,
+    )
+
+    q["dataset_card"] = lambda s, d: dataset_card(_docs(s, d))
     q["doc_corpus_stats"] = lambda s, d: text_analysis.corpus_stats(
         _docs(s, d)
     ).select(
@@ -809,6 +816,10 @@ def oracle_sql() -> dict[str, str]:
     o["doc_token_counts"] = oracle.token_counts_sql(text_analysis.BPEISH_PATTERN)
     o["doc_quality_features"] = oracle.quality_sql(text_analysis.STOPWORDS)
     o["doc_gopher_quality"] = oracle.gopher_sql(text_analysis.GOPHER_STOPS)
+    o["dataset_card"] = oracle.dataset_card_sql(
+        text_analysis.STOPWORDS, text_analysis.LANG_MARKERS,
+        text_analysis.GOPHER_STOPS, quality_min=1.0,
+    )
     o["doc_lang_id"] = oracle.lang_id_sql(text_analysis.LANG_MARKERS)
     o["doc_lm_score"] = oracle.lm_repetition_sql()
     o["doc_fingerprint"] = oracle.fingerprint_sql()

@@ -257,6 +257,11 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         )
 
         timed("doc_corpus_stats", lambda: noop(corpus_stats(docs)))
+        from log_aggregation_pipeline_spark.plans.dataset_card import (
+            dataset_card,
+        )
+
+        timed("dataset_card", lambda: noop(dataset_card(docs)))
         from log_aggregation_pipeline_spark.operators.text_analysis import (
             gopher_rules,
         )

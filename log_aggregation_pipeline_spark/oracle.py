@@ -784,6 +784,49 @@ FROM ratios
 """
 
 
+def dataset_card_sql(
+    stopwords, markers, gopher_stops, quality_min: float
+) -> str:
+    """Per-source dataset-card twin: the quality / gopher / lang twins
+    joined on doc_id, one per-source rollup (quantile_cont ==
+    Spark percentile), majority language by (count DESC, lang ASC)
+    row_number — the same deterministic tie spec as the Spark window.
+    count(CASE ...) not sum(CASE ...): sum yields HUGEINT and
+    hash-diverges from Spark's long (the pivot gotcha)."""
+    return f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({quality_sql(stopwords)})),
+g AS (SELECT doc_id, n_tokens, gopher_pass FROM ({gopher_sql(gopher_stops)})),
+l AS (SELECT doc_id, lang_pred FROM ({lang_id_sql(markers)})),
+base AS (
+  SELECT d.source, d.doc_id, g.n_tokens, q.quality_score, g.gopher_pass,
+         l.lang_pred
+  FROM documents d
+  JOIN q USING (doc_id) JOIN g USING (doc_id) JOIN l USING (doc_id)
+),
+per AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+         round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+         round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
+         count(CASE WHEN quality_score >= {quality_min} THEN 1 END)
+           AS n_quality,
+         count(CASE WHEN gopher_pass THEN 1 END) AS n_gopher_pass
+  FROM base GROUP BY source
+),
+lc AS (SELECT source, lang_pred, count(*) AS n FROM base GROUP BY 1, 2),
+tl AS (
+  SELECT source, lang_pred AS top_lang FROM (
+    SELECT source, lang_pred,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n DESC, lang_pred ASC) AS rn
+    FROM lc) WHERE rn = 1
+)
+SELECT p.source, n_docs, total_tokens, p50_tokens, p95_tokens,
+       n_quality, n_gopher_pass, top_lang
+FROM per p JOIN tl USING (source)
+"""
+
+
 def lm_repetition_sql() -> str:
     """Twin of text_analysis.lm_repetition_features — every output a
     single integer-ratio double division in the same formula order."""

@@ -61,3 +61,30 @@ def test_neardup_funnel_drops_cluster_losers(spark):
     assert row.n_quality == 2          # 3 fails the floor -> {0, 4}
     assert row.n_docs >= row.n_exact >= row.n_neardup >= row.n_quality
     assert row.n_quality >= row.n_clean >= 0
+
+
+def test_dataset_card_per_source(spark):
+    from log_aggregation_pipeline_spark.plans.dataset_card import (
+        dataset_card,
+    )
+
+    en = ("the results of the run were good and the team shipped "
+          "them with the usual care that the work deserves always")
+    es = "el que los una por la que los una por el que los una por"
+    docs = [
+        (1, "a", en * 2),      # quality-passing English doc
+        (2, "a", en),
+        (3, "a", "x"),         # junk: fails quality, lang 'und'... but
+        (4, "b", es),          # Spanish-marker doc
+        (5, "b", es + " extra"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r.source: r for r in dataset_card(df, quality_min=0.9).collect()}
+    a, b = got["a"], got["b"]
+    assert a.n_docs == 3 and b.n_docs == 2
+    assert a.top_lang == "en" and b.top_lang == "es"
+    assert a.n_quality == 2    # doc 3 fails the floor
+    assert a.total_tokens == sum(len(t.split()) for _, s, t in docs if s == "a")
+    # constructed docs are short of the 50-token Gopher floor except
+    # the doubled one — count is exact, not approximate
+    assert a.n_gopher_pass in (0, 1) and b.n_gopher_pass == 0

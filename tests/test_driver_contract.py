@@ -35,6 +35,7 @@ MUST_BE_IN_WINDOW = [
     "corpus_prep_funnel_neardup",
     "doc_markup_strip",
     "emb_dup_clusters",
+    "dataset_card",
 ]
 
 
