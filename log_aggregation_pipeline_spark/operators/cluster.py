@@ -158,6 +158,7 @@ def _ranked_members(
     a_col: str,
     b_col: str,
     id_col: str,
+    text_col: str,
 ) -> DataFrame:
     """Cluster membership + per-cluster quality rank (rn=1 is the
     keeper).  Shared core of cluster_keepers / cluster_drop_list so
@@ -169,7 +170,7 @@ def _ranked_members(
     )
 
     clusters = dup_clusters(pairs, a_col, b_col)  # id column: doc_id
-    qual = quality_features(docs).select(
+    qual = quality_features(docs, text_col).select(
         F.col(id_col).alias("doc_id"), "quality_score"
     )
     w = Window.partitionBy("cluster_rep").orderBy(
@@ -194,6 +195,7 @@ def cluster_keepers(
     a_col: str = "a_id",
     b_col: str = "b_id",
     id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """The final step of the dedup story (pairs -> components ->
     KEEPER): one row per near-dup cluster naming the canonical
@@ -211,7 +213,7 @@ def cluster_keepers(
     handling as the backstop exactly as in dup_clusters.  Returns
     (cluster_rep, keeper_id, cluster_size, keeper_quality)."""
     return (
-        _ranked_members(docs, pairs, a_col, b_col, id_col)
+        _ranked_members(docs, pairs, a_col, b_col, id_col, text_col)
         .filter(F.col("rn") == 1)
         .select(
             "cluster_rep",
@@ -228,13 +230,14 @@ def cluster_drop_list(
     a_col: str = "a_id",
     b_col: str = "b_id",
     id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """The complement of ``cluster_keepers``: every cluster member
     that LOST the election (rn > 1) — the ids a near-dup dedup pass
     anti-joins away.  Same election window, so keepers + drop list
     exactly partition the pair-derived membership."""
     return (
-        _ranked_members(docs, pairs, a_col, b_col, id_col)
+        _ranked_members(docs, pairs, a_col, b_col, id_col, text_col)
         .filter(F.col("rn") > 1)
         .select(F.col("doc_id").alias(id_col))
     )

@@ -208,12 +208,17 @@ def ngram_jaccard_sql(
     threshold: float = 0.4,
     max_shingle_freq: int | None = None,
     include_common: bool = True,
+    from_sql: str = "documents",
 ) -> str:
     """Exact shingle-Jaccard pairs.  ``max_shingle_freq`` mirrors the
     Spark operator's stop-shingle cap (shingles in more than that many
     docs are excluded from the join AND from n_common, denominators
     stay uncapped — exactly the Spark semantics).  ``include_common``
-    False drops the n_common column (the minhash-LSH oracle shape)."""
+    False drops the n_common column (the minhash-LSH oracle shape).
+    ``from_sql`` is the source relation (a table name or aliased
+    subquery with doc_id + text columns) — the single-source rule:
+    composed oracles (corpus_prep_neardup_sql) reuse THIS builder
+    instead of inlining a drift-prone copy of the shingle CTEs."""
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
     cap_cte = ""
     join_src = "ex"
@@ -227,7 +232,7 @@ capped AS (
     common_col = "n_common, " if include_common else ""
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM {from_sql}
 ),
 sh AS (
   SELECT doc_id,
@@ -456,62 +461,37 @@ def corpus_prep_neardup_sql(
     n_eval: int,
 ) -> str:
     """Near-dup funnel twin: exact keepers -> jaccard pairs over the
-    keeper subset -> recursive-CTE components -> quality-elected drop
-    list (DESC NULLS LAST matches Spark's desc() null ordering —
-    DuckDB's bare DESC is NULLS FIRST) -> quality floor -> eval
-    removal -> decontamination."""
-    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(jaccard_k))
+    keeper subset (REUSES ngram_jaccard_sql via its from_sql hook —
+    single-source rule) -> recursive-CTE components (REUSES
+    dup_clusters_sql) -> quality-elected drop list (DESC NULLS LAST
+    matches Spark's desc() null ordering — DuckDB's bare DESC is
+    NULLS FIRST) -> quality floor -> eval removal -> decontamination.
+    ``max_shingle_freq=None`` disables the cap exactly as the Spark
+    operator and the base jaccard oracle do."""
+    pairs_sql = ngram_jaccard_sql(
+        jaccard_k,
+        jaccard_t,
+        max_shingle_freq=max_shingle_freq,
+        include_common=False,
+        from_sql="(SELECT d.doc_id, d.text FROM documents d "
+                 "JOIN keep USING (doc_id)) AS kd",
+    )
+    clusters_sql = dup_clusters_sql(pairs_sql)
     return f"""
-WITH RECURSIVE
+WITH
 keep AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({NORM_SQL})
 ),
-ktoks AS (
-  SELECT d.doc_id, string_split({NORM_SQL}, ' ') AS t
-  FROM documents d JOIN keep USING (doc_id)
-),
-ksh AS (
-  SELECT doc_id,
-         list_distinct([ {gram}
-                         for i in range(1, len(t) - {jaccard_k - 2}) ])
-           AS shingles
-  FROM ktoks WHERE len(t) >= {jaccard_k}
-),
-kex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM ksh),
-kcapped AS (
-  SELECT * FROM kex WHERE s IN (
-    SELECT s FROM kex GROUP BY s HAVING count(*) <= {max_shingle_freq})
-),
-kcommon AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         count(*) AS n_common, any_value(a.n) AS na, any_value(b.n) AS nb
-  FROM kcapped a JOIN kcapped b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT a_id, b_id FROM kcommon
-  WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= {jaccard_t}
-),
-edges AS (
-  SELECT a_id AS u, b_id AS v FROM pairs
-  UNION
-  SELECT b_id, a_id FROM pairs
-),
-reach(id, r) AS (
-  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-  UNION
-  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
-),
-comp AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+clusters AS (SELECT doc_id, cluster_rep FROM ({clusters_sql})),
 qscore AS (
   SELECT doc_id, quality_score FROM ({quality_sql(stopwords)})
 ),
 ranked AS (
   SELECT c.doc_id,
-         row_number() OVER (PARTITION BY c.rep
+         row_number() OVER (PARTITION BY c.cluster_rep
                             ORDER BY q.quality_score DESC NULLS LAST,
                                      c.doc_id ASC) AS rn
-  FROM comp c LEFT JOIN qscore q USING (doc_id)
+  FROM clusters c LEFT JOIN qscore q USING (doc_id)
 ),
 nd AS (
   SELECT doc_id FROM keep
@@ -788,11 +768,22 @@ def dataset_card_sql(
     stopwords, markers, gopher_stops, quality_min: float
 ) -> str:
     """Per-source dataset-card twin: the quality / gopher / lang twins
-    joined on doc_id, one per-source rollup (quantile_cont ==
-    Spark percentile), majority language by (count DESC, lang ASC)
-    row_number — the same deterministic tie spec as the Spark window.
-    count(CASE ...) not sum(CASE ...): sum yields HUGEINT and
-    hash-diverges from Spark's long (the pivot gotcha)."""
+    joined on doc_id, ONE per-source rollup (quantile_cont == Spark
+    percentile) computing per-language counts in the same aggregate,
+    then the identical strictly-greater ascending-language fold as the
+    Spark side (== count DESC, lang ASC ties).  count(CASE ...) not
+    sum(CASE ...): sum yields HUGEINT and hash-diverges from Spark's
+    long (the pivot gotcha)."""
+    langs = tuple(sorted(markers)) + ("und",)
+    lang_cols = ",\n         ".join(
+        f"count(CASE WHEN lang_pred = '{lg}' THEN 1 END) AS n_{lg}"
+        for lg in langs
+    )
+    best = f"'{langs[0]}'"
+    best_n = f"n_{langs[0]}"
+    for lg in langs[1:]:
+        best = f"CASE WHEN n_{lg} > {best_n} THEN '{lg}' ELSE {best} END"
+        best_n = f"CASE WHEN n_{lg} > {best_n} THEN n_{lg} ELSE {best_n} END"
     return f"""
 WITH q AS (SELECT doc_id, quality_score FROM ({quality_sql(stopwords)})),
 g AS (SELECT doc_id, n_tokens, gopher_pass FROM ({gopher_sql(gopher_stops)})),
@@ -810,20 +801,13 @@ per AS (
          round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
          count(CASE WHEN quality_score >= {quality_min} THEN 1 END)
            AS n_quality,
-         count(CASE WHEN gopher_pass THEN 1 END) AS n_gopher_pass
+         count(CASE WHEN gopher_pass THEN 1 END) AS n_gopher_pass,
+         {lang_cols}
   FROM base GROUP BY source
-),
-lc AS (SELECT source, lang_pred, count(*) AS n FROM base GROUP BY 1, 2),
-tl AS (
-  SELECT source, lang_pred AS top_lang FROM (
-    SELECT source, lang_pred,
-           row_number() OVER (PARTITION BY source
-                              ORDER BY n DESC, lang_pred ASC) AS rn
-    FROM lc) WHERE rn = 1
 )
-SELECT p.source, n_docs, total_tokens, p50_tokens, p95_tokens,
-       n_quality, n_gopher_pass, top_lang
-FROM per p JOIN tl USING (source)
+SELECT source, n_docs, total_tokens, p50_tokens, p95_tokens,
+       n_quality, n_gopher_pass, {best} AS top_lang
+FROM per
 """
 
 

@@ -137,7 +137,7 @@ def corpus_prep_funnel_neardup(
         max_shingle_freq=max_shingle_freq, text_col=text_col,
         id_col=id_col,
     )
-    drop = cluster_drop_list(exact, pairs, id_col=id_col)
+    drop = cluster_drop_list(exact, pairs, id_col=id_col, text_col=text_col)
     neardup = exact.join(drop, id_col, "left_anti")
     qual = quality_features(neardup, text_col=text_col).filter(
         F.col("quality_score") >= quality_min

@@ -4,26 +4,48 @@ Gopher pass counts, majority language, per source.
 
 Shape: ONE chained projection (quality_features -> gopher_rules ->
 lang_id — all pure codegen, single scan, no joins between the
-feature stages) feeding two aggregates: the per-source metric rollup
-(one shuffle on the source key) and a (source, lang) count + window
-for the majority language (deterministic ties: count desc, lang asc —
-NOT mode(), whose tie behavior is engine-arbitrary).  Counts are
-integers and quantiles follow the corpus_stats percentile ==
-quantile_cont equivalence, so the DuckDB twin hashes identically;
-mean-of-double-score columns are deliberately absent (float sum order
-is not associative across engines — repo float-oracle rule).
+feature stages) feeding ONE per-source aggregate.  The majority
+language is computed INSIDE that aggregate: per-language counts over
+the small fixed language set (LANG_MARKERS + 'und'), then a
+deterministic strictly-greater fold in ascending language order —
+which is exactly "count desc, lang asc" tie-breaking, and avoids both
+a second scan (a separate (source, lang) aggregate would re-evaluate
+every regexp/HOF in the projection — Catalyst does not share
+non-exchange subplans) and mode(), whose tie behavior is
+engine-arbitrary.  Counts are integers and quantiles follow the
+corpus_stats percentile == quantile_cont equivalence, so the DuckDB
+twin hashes identically; mean-of-double-score columns are
+deliberately absent (float sum order is not associative across
+engines — repo float-oracle rule).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from log_aggregation_pipeline_spark.operators.text_analysis import (
+    LANG_MARKERS,
     gopher_rules,
     lang_id,
     quality_features,
 )
+
+CARD_LANGS = tuple(sorted(LANG_MARKERS)) + ("und",)
+
+
+def _majority_lang() -> Column:
+    """Fold per-language counts (columns ``_n_<lang>``) to the
+    majority language: iterate in ascending language order, replace
+    only on a STRICTLY greater count — ties keep the earlier
+    (ascending-min) language, i.e. ORDER BY count DESC, lang ASC."""
+    best = F.lit(CARD_LANGS[0])
+    best_n = F.col(f"_n_{CARD_LANGS[0]}")
+    for lg in CARD_LANGS[1:]:
+        take = F.col(f"_n_{lg}") > best_n
+        best = F.when(take, F.lit(lg)).otherwise(best)
+        best_n = F.when(take, F.col(f"_n_{lg}")).otherwise(best_n)
+    return best
 
 
 def dataset_card(
@@ -46,16 +68,18 @@ def dataset_card(
             "n_quality"
         ),
         F.count(F.when(F.col("gopher_pass"), 1)).alias("n_gopher_pass"),
+        *[
+            F.count(F.when(F.col("lang_pred") == lg, 1)).alias(f"_n_{lg}")
+            for lg in CARD_LANGS
+        ],
     )
-    lang_counts = base.groupBy(group_col, "lang_pred").agg(
-        F.count("*").alias("_n")
+    return per.select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        "p50_tokens",
+        "p95_tokens",
+        "n_quality",
+        "n_gopher_pass",
+        _majority_lang().alias("top_lang"),
     )
-    w = Window.partitionBy(group_col).orderBy(
-        F.desc("_n"), F.asc("lang_pred")
-    )
-    top = (
-        lang_counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(group_col, F.col("lang_pred").alias("top_lang"))
-    )
-    return per.join(top, group_col)

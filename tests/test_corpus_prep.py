@@ -85,6 +85,25 @@ def test_dataset_card_per_source(spark):
     assert a.top_lang == "en" and b.top_lang == "es"
     assert a.n_quality == 2    # doc 3 fails the floor
     assert a.total_tokens == sum(len(t.split()) for _, s, t in docs if s == "a")
-    # constructed docs are short of the 50-token Gopher floor except
-    # the doubled one — count is exact, not approximate
-    assert a.n_gopher_pass in (0, 1) and b.n_gopher_pass == 0
+    # every constructed doc is under the 50-token Gopher floor (the
+    # doubled doc fuses at the join point: 2*21-1 = 41 tokens) — the
+    # counts are fully determined
+    assert a.n_gopher_pass == 0 and b.n_gopher_pass == 0
+
+
+def test_neardup_funnel_custom_text_col(spark):
+    # text_col must thread through EVERY stage incl. the keeper
+    # election (regression: cluster_drop_list hard-coded 'text')
+    from log_aggregation_pipeline_spark.plans.corpus_prep import (
+        corpus_prep_funnel_neardup,
+    )
+
+    near = GOOD.replace("lazy", "sleepy")
+    df = spark.createDataFrame(
+        [(0, GOOD), (1, GOOD), (2, near)], "doc_id long, body string"
+    )
+    row = corpus_prep_funnel_neardup(
+        df, quality_min=0.9, max_shingle_freq=None, n_eval=1,
+        text_col="body",
+    ).first()
+    assert row.n_docs == 3 and row.n_exact == 2 and row.n_neardup == 1

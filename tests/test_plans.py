@@ -236,3 +236,16 @@ def test_neardup_funnel_no_cartesian(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan_of(corpus_prep_funnel_neardup(docs))
     assert "CartesianProduct" not in p
+
+
+def test_dataset_card_single_scan(spark):
+    """The card's majority language is folded inside the one
+    per-source aggregate — a second (source, lang) aggregate would
+    re-evaluate the whole regexp/HOF projection on a second scan."""
+    from log_aggregation_pipeline_spark.plans.dataset_card import (
+        dataset_card,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(dataset_card(docs))
+    assert p.count("Scan parquet") == 1
