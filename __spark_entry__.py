@@ -108,15 +108,20 @@ _ROUTED_COLS = ["id", "conv_id", "turn_idx", "role", "tool", "level", "error_cod
 DRIVER_WINDOW = 50
 
 
-def _verified_last_round() -> set[str]:
-    """Query names verified in the newest driver correctness file
-    (empty set when none exists — e.g. a fresh clone)."""
+def _verified_last_round(repo_dir: str | None = None) -> set[str]:
+    """Query names that PASSED the driver check in the newest
+    correctness file (empty set when none exists — e.g. a fresh
+    clone).  Passed means a clean record: a query whose last driver
+    row was a failure (err / rows / schema / hash mismatch) counts as
+    UNVERIFIED so its fix re-enters the window immediately instead of
+    rotating out with no evidence for a round."""
     import glob
     import json
     import os
     import re
+    import sys
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = repo_dir or os.path.dirname(os.path.abspath(__file__))
     files = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
     if not files:
         return set()
@@ -128,9 +133,27 @@ def _verified_last_round() -> set[str]:
     latest = max(files, key=round_no)
     try:
         with open(latest) as f:
-            return set(json.load(f))
-    except Exception:  # noqa: BLE001 — unreadable file = no rotation
+            results = json.load(f)
+    except (OSError, json.JSONDecodeError, ValueError) as exc:
+        # warn loudly but do not crash the driver run: build order is
+        # a safe (if stale-tolerant) fallback for one round
+        print(
+            f"[rotate_window] unreadable {latest}: {exc} — "
+            "rotation disabled this run",
+            file=sys.stderr,
+        )
         return set()
+
+    def passed(v) -> bool:
+        return (
+            isinstance(v, dict)
+            and v.get("err") is None
+            and v.get("rows_match") is True
+            and v.get("schema_match") is not False
+            and v.get("hash_match") is not False
+        )
+
+    return {k for k, v in results.items() if passed(v)}
 
 
 def _rotate_window(q: dict) -> dict:
