@@ -510,6 +510,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_chunks"] = lambda s, d: chunking.chunk_documents(
         _docs(s, d), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
     )
+    # tokenizer-aware variant: GPT-2-style pre-tok pieces, punctuation
+    # billed as its own tokens
+    q["doc_chunks_bpeish"] = lambda s, d: chunking.chunk_documents(
+        _docs(s, d), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+        tokenizer="bpeish",
+    )
     q["doc_pack_sequences"] = lambda s, d: packing.pack_sequences(
         _docs(s, d), capacity=PACK_CAP, n_shards=PACK_SHARDS
     )
@@ -823,6 +829,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["doc_corpus_stats"] = oracle.corpus_stats_sql()
     o["doc_chunks"] = oracle.chunk_documents_sql(CHUNK_TOKENS, CHUNK_OVERLAP)
+    o["doc_chunks_bpeish"] = oracle.chunk_documents_sql(
+        CHUNK_TOKENS, CHUNK_OVERLAP, tokenizer="bpeish"
+    )
     o["doc_pack_sequences"] = oracle.pack_sequences_sql(PACK_CAP, PACK_SHARDS)
     o["doc_pack_segments"] = oracle.pack_segments_sql(PACK_CAP, PACK_SHARDS)
     o["trending_error_codes"] = oracle.trending_terms_sql(

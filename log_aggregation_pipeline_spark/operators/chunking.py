@@ -26,31 +26,51 @@ def chunk_documents(
     overlap: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
-    """(id, chunk_idx, n_tokens, chunk_text) — whitespace-token windows
-    over normalized text.  Window i covers tokens
-    [i*stride, i*stride + chunk_tokens); the final window may be short
-    (tail), every token belongs to >= 1 chunk, and no chunk is a
-    strict suffix of its predecessor (a start inside the last window's
-    overlap region would duplicate already-covered text — poison for a
-    dedup-centric corpus).  Docs whose normalized text is empty emit
-    no chunks."""
+    """(id, chunk_idx, n_tokens, chunk_text) — token windows.  Window
+    i covers tokens [i*stride, i*stride + chunk_tokens); the final
+    window may be short (tail), every token belongs to >= 1 chunk, and
+    no chunk is a strict suffix of its predecessor (a start inside the
+    last window's overlap region would duplicate already-covered
+    text — poison for a dedup-centric corpus).  Docs whose trimmed
+    text is empty emit no chunks.
+
+    ``tokenizer``: "whitespace" (normalized words — the packing/stats
+    suite's unit) or "bpeish" (the GPT-2-style pre-tokenizer pieces of
+    ``text_analysis.BPEISH_PATTERN`` over RAW text — closer to what a
+    real tokenizer bills, since punctuation costs its own tokens;
+    every non-space char matches one alternative, so any doc passing
+    the trim filter has >= 1 token).  ``chunk_text`` joins tokens with
+    single spaces in both modes — the token sequence is the training
+    payload, not the original byte spacing."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(
             f"need 0 <= overlap < chunk_tokens, got overlap={overlap}, "
             f"chunk_tokens={chunk_tokens} (stride would be <= 0 or "
             "tokens would silently fall between windows)"
         )
+    if tokenizer == "whitespace":
+        tok_arr = F.split(normalize_text(text_col), " ")
+    elif tokenizer == "bpeish":
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            BPEISH_PATTERN,
+        )
+
+        tok_arr = F.regexp_extract_all(
+            F.col(text_col), F.lit(BPEISH_PATTERN), F.lit(0)
+        )
+    else:
+        raise ValueError(
+            f"tokenizer must be whitespace or bpeish, got {tokenizer!r}"
+        )
     stride = chunk_tokens - overlap
-    # cheap pre-projection filter (trim(text) empty iff normalized
-    # empty): filtering on the normalized column itself would be
+    # cheap pre-projection filter (trim(text) empty iff zero tokens in
+    # both modes): filtering on the token column itself would be
     # pushed below the projection and re-run the regex per row
     toks = (
         df.filter(F.trim(F.col(text_col)) != "")
-        .select(
-            F.col(id_col),
-            F.split(normalize_text(text_col), " ").alias("_t"),
-        )
+        .select(F.col(id_col), tok_arr.alias("_t"))
         .select(F.col(id_col), "_t", F.size("_t").alias("_n"))
     )
     # last start: the largest stride multiple <= n - overlap - 1 —

@@ -523,14 +523,29 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 """
 
 
-def chunk_documents_sql(chunk_tokens: int, overlap: int) -> str:
+def chunk_documents_sql(
+    chunk_tokens: int, overlap: int, tokenizer: str = "whitespace"
+) -> str:
     """Chunking twin: range(0, n, stride) window starts, 1-based
-    inclusive list slice per window."""
+    inclusive list slice per window.  ``tokenizer`` mirrors the Spark
+    operator's whitespace/bpeish modes (same trim-empty filter on
+    both — normalized-empty iff trim-empty, and any non-empty trimmed
+    text has >= 1 bpeish token)."""
+    if tokenizer == "whitespace":
+        tok_expr = f"string_split({NORM_SQL}, ' ')"
+    elif tokenizer == "bpeish":
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            BPEISH_PATTERN,
+        )
+
+        tok_expr = f"regexp_extract_all(text, '{BPEISH_PATTERN}')"
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     stride = chunk_tokens - overlap
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t
-  FROM documents WHERE {NORM_SQL} != ''
+  SELECT doc_id, {tok_expr} AS t
+  FROM documents WHERE trim(text) != ''
 ),
 starts AS (
   SELECT doc_id, t, len(t) AS n,

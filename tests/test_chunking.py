@@ -67,3 +67,37 @@ def test_invalid_overlap_raises(spark):
     with pytest.raises(ValueError, match="overlap"):
         # negative overlap -> stride > chunk -> silent token loss
         chunk_documents(df, chunk_tokens=4, overlap=-1)
+
+
+def test_bpeish_tokenizer_bills_punctuation(spark):
+    """bpeish mode splits on the GPT-2-style pre-tok pieces — each
+    punctuation mark is its own token, so punctuation-heavy text
+    yields MORE chunks than whitespace mode, matching a Python re
+    model of the same pattern."""
+    import re
+
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        BPEISH_PATTERN,
+    )
+
+    text = "a-b c.d e!f " * 8  # 24 ws tokens, 72 bpeish pieces
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    ws = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    bp = chunk_documents(
+        df, chunk_tokens=8, overlap=2, tokenizer="bpeish"
+    ).collect()
+    pieces = re.findall(BPEISH_PATTERN, text)
+    assert len(pieces) == 72 and sum(r.n_tokens for r in ws) < sum(
+        r.n_tokens for r in bp
+    )
+    bp.sort(key=lambda r: r.chunk_idx)
+    # chunk 0 is the first 8 pieces joined with spaces
+    assert bp[0].chunk_text == " ".join(pieces[:8])
+    # full coverage: last chunk ends at the final piece
+    assert bp[-1].chunk_text.endswith(pieces[-1])
+
+
+def test_unknown_tokenizer_raises(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="tokenizer"):
+        chunk_documents(df, tokenizer="sentencepiece")
