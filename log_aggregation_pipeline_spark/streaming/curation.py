@@ -1,0 +1,66 @@
+"""Streaming curation leg — the corpus-cleaning operators run as a
+Structured Streaming pipeline.
+
+A crawl/ingest pipeline curates documents AS THEY ARRIVE: file-stream
+of raw docs -> ``strip_markup`` -> ``gopher_rules`` gate -> one
+parquet sink partitioned by the pass flag (accepted and rejected docs
+land in sibling ``gopher_pass=`` directories from a single write — no
+second pass, no foreachBatch fan-out needed).  Both operators are
+pure projections (pinned stream-safe in
+tests/test_streaming.py::test_projection_operators_compose_with_streams),
+so the streaming plan is the batch plan with a file source in front:
+checkpointed, exactly-once per input file, no state store.
+
+Scale posture: stateless micro-batches — throughput is the projection
+throughput; the partitioned sink keeps accepted/rejected separable
+for downstream training readers without a filter scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from log_aggregation_pipeline_spark.operators.text_analysis import (
+    gopher_rules,
+    strip_markup,
+)
+
+DOCS_SCHEMA = "doc_id long, source string, text string"
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Drain ``in_dir`` (parquet docs, DOCS_SCHEMA) through the
+    curation chain into ``out_dir`` partitioned by ``gopher_pass``;
+    ``availableNow`` processes the current backlog and stops, the
+    checkpoint makes re-runs incremental (new files only)."""
+    cp = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(in_dir)
+    curated = gopher_rules(strip_markup(src), text_col="clean_text").select(
+        "doc_id",
+        "source",
+        "clean_text",
+        "n_tags",
+        "n_tokens",
+        "stop_hits",
+        "gopher_pass",
+    )
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .partitionBy("gopher_pass")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

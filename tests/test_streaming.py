@@ -269,3 +269,58 @@ def test_projection_operators_compose_with_streams(spark, tmp_path):
         k: tuple(v) for k, v in exp.items()
     }
     assert got[3].clean_text == "plain & simple"
+
+
+def test_curation_stream_partitions_match_batch(spark, tmp_path):
+    """Streaming curation leg: accepted/rejected partition contents
+    equal the batch computation, and a re-run with the same checkpoint
+    processes nothing new (exactly-once per input file)."""
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        gopher_rules,
+        strip_markup,
+    )
+    from log_aggregation_pipeline_spark.streaming.curation import (
+        run_curation_stream,
+    )
+
+    natural = (
+        "the results have to be reproducible and that means we work "
+        "with the same seeds and the same inputs every time so that "
+        "every run of the pipeline lands on identical outputs and the "
+        "report stays comparable across rounds of the evaluation " * 2
+    )
+    rows = [
+        (1, "a", f"<p>{natural}</p>"),
+        (2, "a", "- bullet\n- bullet\n- bullet"),
+        (3, "b", "tiny &amp; short"),
+    ]
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    batch = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    batch.repartition(2).write.parquet(in_dir)
+
+    run_curation_stream(spark, in_dir, out_dir)
+
+    # hive partition values deserialize as strings — cast back
+    got = spark.read.parquet(out_dir).withColumn(
+        "gopher_pass", F.col("gopher_pass").cast("boolean")
+    )
+    exp = gopher_rules(strip_markup(batch), text_col="clean_text").select(
+        "doc_id", "source", "clean_text", "n_tags", "n_tokens",
+        "stop_hits", "gopher_pass",
+    )
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(map(tuple, got.select(*exp.columns).collect()), key=lambda t: t[0]) == \
+        sorted(map(tuple, exp.collect()), key=lambda t: t[0])
+    # the long natural doc passes, the bullets/short docs do not
+    assert {r.doc_id: r.gopher_pass for r in got.collect()} == {
+        1: True, 2: False, 3: False,
+    }
+    import glob as _glob
+    import os as _os
+
+    assert _glob.glob(_os.path.join(out_dir, "gopher_pass=true", "*.parquet"))
+    assert _glob.glob(_os.path.join(out_dir, "gopher_pass=false", "*.parquet"))
+    # checkpointed re-run: no new input -> no new rows
+    n = got.count()
+    run_curation_stream(spark, in_dir, out_dir)
+    assert spark.read.parquet(out_dir).count() == n
