@@ -825,7 +825,7 @@ def oracle_sql() -> dict[str, str]:
         text_analysis._MARKUP_BLOCKS,
         text_analysis._MARKUP_TAG,
         text_analysis._MARKUP_ENTITIES,
-        text_analysis._WS_CLASS,
+        text_analysis._WS_NORM_STEPS,
     )
     o["doc_corpus_stats"] = oracle.corpus_stats_sql()
     o["doc_chunks"] = oracle.chunk_documents_sql(CHUNK_TOKENS, CHUNK_OVERLAP)

@@ -32,8 +32,11 @@ from pyspark.sql import types as T
 # shared text normalization (also mirrored in oracle SQL)
 # ---------------------------------------------------------------------------
 def normalize_text(col: Column | str) -> Column:
+    # whitespace spelled out instead of \s: Java's \s includes \x0B,
+    # RE2's (DuckDB) does not — the explicit class keeps the oracle
+    # twin exact on corpora containing vertical tabs (repo gotcha)
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\x0B\f\r]+", " ")
 
 
 def content_hash(col: Column | str) -> Column:
@@ -319,7 +322,15 @@ def simhash_from_texts(texts: pd.Series) -> np.ndarray:
     call it, so the non-SQL-portable hash is computed once and the
     chunk-join/XOR/bit_count logic is verified independently.
     Returns the signatures as an int64 view (Spark LongType layout)."""
-    norm = texts.fillna("").str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+    # mirror normalize_text exactly: Python re's \s is unicode-wide,
+    # Java's includes \x0B — the explicit class is the 3-engine
+    # intersection; strip(" ") matches Spark/DuckDB trim (spaces only)
+    norm = (
+        texts.fillna("")
+        .str.lower()
+        .str.strip(" ")
+        .str.replace(r"[ \t\n\x0B\f\r]+", " ", regex=True)
+    )
     tok_lists = norm.str.split(" ")
     lens = tok_lists.str.len().fillna(0).astype(np.int64).to_numpy()
     flat = np.concatenate([t if isinstance(t, list) else [] for t in tok_lists]) if lens.sum() else np.array([], dtype=object)

@@ -19,8 +19,10 @@ from .dedupe import normalize_text
 # ---------------------------------------------------------------------------
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
 # symbols (the classic GPT-2 pre-tok shape, simplified to the
-# RE2 ∩ java.regex dialect).
-BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# RE2 ∩ java.regex dialect).  Whitespace is spelled out in the negated
+# class instead of \s: Java's \s includes \x0B, RE2's does not, so the
+# shorthand would tokenize a vertical tab differently across engines.
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def whitespace_token_count(col: Column | str) -> Column:
@@ -64,7 +66,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = normalize_text(text_col)
     n_chars = F.length(c)
     n_tokens = whitespace_token_count(text_col)
-    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    # \w agrees across Java/RE2; whitespace is spelled out (\s does not)
+    n_punct = F.size(
+        F.regexp_extract_all(c, F.lit(r"[^\w \t\n\x0B\f\r]"), F.lit(0))
+    )
     n_alpha = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]"), F.lit(0)))
     n_stop = _token_hits(norm, STOPWORDS)
 
@@ -237,7 +242,10 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_symbols = F.regexp_count(c, F.lit("#")) + F.regexp_count(
         c, F.lit(r"\.\.\.")
     )
-    n_alpha_w = F.size(F.filter(F.col("_toks"), lambda w: w.rlike("[a-z]")))
+    # \p{L} (any Unicode letter — supported by both Java regex and
+    # RE2) instead of [a-z]: accented / non-Latin words must count as
+    # alphabetic or every es/de/fr doc fails the 80% alpha-word gate
+    n_alpha_w = F.size(F.filter(F.col("_toks"), lambda w: w.rlike(r"\p{L}")))
     # explicit [ \t] instead of \s: Java's \s includes \x0B, RE2's
     # does not — the one dialect divergence that would flip the
     # DuckDB-twin hash on a corpus containing vertical tabs
@@ -325,7 +333,20 @@ _MARKUP_ENTITIES = (
     ("&nbsp;", " "),
     ("&amp;", "&"),
 )
-_WS_CLASS = r"[ \t\n\x0B\f\r]+"
+# Whitespace normalization that PRESERVES line structure: horizontal
+# runs collapse to one space, newline runs (CR/CRLF normalized first)
+# collapse to one LF.  Newlines must survive cleaning because the
+# line-based Gopher gates (bullet_frac, ellipsis_frac) run on
+# clean_text in the streaming curation leg — a single-line collapse
+# would degenerate them to whole-document checks.  \A/\z (not ^/$) for
+# the trim step: Java's $ also matches BEFORE a final newline, RE2's
+# does not — \z is the dialect-exact end-of-text in both.
+_WS_NORM_STEPS = (
+    (r"\r\n?", "\n"),            # CR / CRLF -> LF
+    (r"[ \t\x0B\f]+", " "),      # horizontal whitespace runs -> one space
+    (r" ?\n[ \n]*", "\n"),       # newline runs (+ flanking spaces) -> one LF
+    (r"\A[ \n]+|[ \n]+\z", ""),  # trim leading/trailing whitespace
+)
 
 
 def strip_markup(
@@ -334,7 +355,8 @@ def strip_markup(
     """HTML/markup boilerplate removal — the cleaning pass a web-crawl
     pretraining corpus runs before tokenization: drop script/style
     blocks and comments wholesale, strip remaining tags, unescape the
-    common entities, collapse whitespace.  Adds ``out_col`` plus
+    common entities, collapse whitespace (newline-preserving — see
+    ``_WS_NORM_STEPS``).  Adds ``out_col`` plus
     ``n_tags`` (tag count BEFORE stripping — the signal for "was this
     doc markup-heavy").  Pure chained regexp_replace codegen — rides
     any scan, no shuffle; identical regex chain in the DuckDB twin
@@ -354,7 +376,8 @@ def strip_markup(
         # literal replacement: escape nothing — entity strings are
         # regex-safe except '&', which is literal in both dialects
         cleaned = F.regexp_replace(cleaned, ent, repl)
-    cleaned = F.trim(F.regexp_replace(cleaned, _WS_CLASS, " "))
+    for pat, repl in _WS_NORM_STEPS:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
     return df.withColumn("n_tags", n_tags).withColumn(out_col, cleaned)
 
 

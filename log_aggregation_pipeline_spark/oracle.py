@@ -184,7 +184,9 @@ FROM lagged WHERE rank <= {top_k}
 # operators.dedupe / text_analysis / similarity).  The normalization
 # and constants mirror the Spark expressions exactly.
 # ---------------------------------------------------------------------------
-NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+# whitespace spelled out instead of \s (Java \s has \x0B, RE2's does
+# not) — must stay in lockstep with dedupe.normalize_text
+NORM_SQL = r"regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')"
 # DuckDB twin of text_analysis.whitespace_token_count — ONE definition;
 # five oracle builders share it, and drift in any copy would break one
 # oracle while the others stay green
@@ -635,11 +637,14 @@ def strip_markup_sql(
     blocks: tuple[str, ...],
     tag: str,
     entities: tuple[tuple[str, str], ...],
-    ws_class: str,
+    ws_steps: tuple[tuple[str, str], ...],
 ) -> str:
     """Twin of text_analysis.strip_markup over the augmented text:
     identical regex chain in the same order, 'g' flag matching Spark's
-    replace-all default."""
+    replace-all default.  ``ws_steps`` is text_analysis._WS_NORM_STEPS
+    verbatim (newline-preserving collapse); a literal LF replacement is
+    embedded as a raw newline inside the SQL string literal — RE2's
+    rewrite parser has no \\n escape."""
     red = "t"
     for pat in blocks:
         red = f"regexp_replace({red}, '{pat}', ' ', 'g')"
@@ -647,7 +652,9 @@ def strip_markup_sql(
     for ent, repl in entities:
         r = repl.replace("'", "''")
         red = f"regexp_replace({red}, '{ent}', '{r}', 'g')"
-    red = f"trim(regexp_replace({red}, '{ws_class}', ' ', 'g'))"
+    for pat, repl in ws_steps:
+        r = repl.replace("'", "''")
+        red = f"regexp_replace({red}, '{pat}', '{r}', 'g')"
     return f"""
 WITH aug AS (SELECT doc_id, {MARKUP_AUG_SQL} AS t FROM documents)
 SELECT doc_id,
@@ -719,7 +726,7 @@ m AS (
     list_sum(list_transform(t, x -> len(x))) AS sum_len,
     len(regexp_extract_all(text, '#'))
       + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
-    len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_w,
+    len(list_filter(t, x -> regexp_matches(x, '\\p{{L}}'))) AS n_alpha_w,
     len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS n_bullet,
     len(list_filter(lines,
                     l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$'))) AS n_ellipsis,
@@ -754,7 +761,7 @@ WITH base AS (
   SELECT doc_id,
     length(text) AS n_chars_m,
     {N_TOKENS_SQL} AS n_tokens,
-    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS n_punct,
     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
     len(list_filter(string_split({NORM_SQL}, ' '), x -> x IN ({stop_list}))) AS n_stop
   FROM documents

@@ -5,7 +5,10 @@ A crawl/ingest pipeline curates documents AS THEY ARRIVE: file-stream
 of raw docs -> ``strip_markup`` -> ``gopher_rules`` gate -> one
 parquet sink partitioned by the pass flag (accepted and rejected docs
 land in sibling ``gopher_pass=`` directories from a single write — no
-second pass, no foreachBatch fan-out needed).  Both operators are
+second pass, no foreachBatch fan-out needed).  strip_markup's
+whitespace collapse is newline-PRESERVING (_WS_NORM_STEPS), so the
+line-based Gopher gates (bullet_frac, ellipsis_frac) still see real
+line structure in ``clean_text`` rather than one collapsed line.  Both operators are
 pure projections (pinned stream-safe in
 tests/test_streaming.py::test_projection_operators_compose_with_streams),
 so the streaming plan is the batch plan with a file source in front:
