@@ -6,7 +6,13 @@ Default mode (driver contract): run the headline queries at
 ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "turns_per_sec": ...}
+     "queries": {...}, "queries_median": {...}, "pipeline": {...},
+     "sf": ..., "turns_per_sec": ...}
+
+The printed line is kept under ``MAX_CONTRACT_LINE_BYTES`` (r4's
+full-columns line overflowed the driver's tail-capture buffer →
+``"parsed": null``); per-rep/spread/single-shot evidence goes to
+``BENCH/local_last_run.json`` instead (``write_verbose``).
 
 ``--scaling`` mode: run the identical end-to-end pipeline at local[8]
 and local[32] in fresh subprocesses (one JVM each — two parallelism
@@ -130,15 +136,33 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
     transcripts = transcripts_from_events(spark, sf_dir)
     n_turns = transcripts.count()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    if repeats < 1:
+        raise ValueError(f"SPARK_GRAFT_REPEATS must be >= 1, got {repeats}")
+
+    def timed_pipeline(name: str, df, reps: int) -> None:
+        # FRESH out_dir per rep: a rerun into the same dir hits the
+        # resume path (all hours committed) and measures a no-op —
+        # r4's single-shot pipeline_e2e had no spread data and its one
+        # sample landed in a host IO phase, which nothing in the
+        # artifact could adjudicate (VERDICT r4 #1/#2)
+        ts = []
+        for _ in range(reps):
+            out_dir = tempfile.mkdtemp(prefix=f"lap_bench_{name}_")
+            try:
+                t0 = time.perf_counter()
+                run_pipeline(spark, df, out_dir)
+                ts.append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        single_shot[name] = round(ts[0], 4)
+        reps_log[name] = [round(t, 4) for t in ts]
+        timings[name] = round(min(ts), 4)
+        medians[name] = round(_median(ts), 4)
+        spreads[name] = round(max(ts) - min(ts), 4)
+
     # headline: full parse -> enrich -> route -> aggregate, incl. sink IO
-    out_dir = tempfile.mkdtemp(prefix="lap_bench_")
-    try:
-        # reps=1: a second run into the same out_dir would hit the
-        # resume path (all hours committed) and measure a no-op
-        timed("pipeline_e2e", lambda: run_pipeline(spark, transcripts, out_dir),
-              reps=1)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    timed_pipeline("pipeline_e2e", transcripts, repeats)
 
     # sustained: replicated input on warm workers — the number to
     # compare against the reference's logs/s claims.  Best-of-N: JVM
@@ -146,24 +170,8 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
     # 3.6 s and 26 s back-to-back); noise is strictly additive, so min
     # is the honest throughput estimate.
     factor = int(os.environ.get("SPARK_GRAFT_REPL", "10"))
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     big = replicate_transcripts(spark, sf_dir, factor)
-    if repeats < 1:
-        raise ValueError(f"SPARK_GRAFT_REPEATS must be >= 1, got {repeats}")
-    ts = []
-    for _ in range(repeats):
-        out_dir = tempfile.mkdtemp(prefix="lap_bench_sustained_")
-        try:
-            t0 = time.perf_counter()
-            run_pipeline(spark, big, out_dir)
-            ts.append(time.perf_counter() - t0)
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
-    single_shot["pipeline_sustained"] = round(ts[0], 4)
-    reps_log["pipeline_sustained"] = [round(t, 4) for t in ts]
-    timings["pipeline_sustained"] = round(min(ts), 4)
-    medians["pipeline_sustained"] = round(_median(ts), 4)
-    spreads["pipeline_sustained"] = round(max(ts) - min(ts), 4)
+    timed_pipeline("pipeline_sustained", big, repeats)
     n_sustained = n_turns * factor
 
     if not pipeline_only:
@@ -330,19 +338,69 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_single_shot": single_shot,
         "queries_median": medians,
-        "queries_spread": spreads,
-        "queries_reps": reps_log,
+        # pipeline medians + spreads ON the contract line: the numbers
+        # that adjudicate a cross-round headline delta as phase noise
+        # (wide spread) vs regression (tight spread, slower median)
+        "pipeline": {
+            "e2e_median": medians["pipeline_e2e"],
+            "e2e_spread": spreads["pipeline_e2e"],
+            "sustained_median": medians["pipeline_sustained"],
+            "sustained_spread": spreads["pipeline_sustained"],
+            "reps": len(reps_log["pipeline_e2e"]),
+        },
         "sf": _sf_from_dir(sf_dir),
         "cores": cores,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / timings["pipeline_e2e"], 1),
+        "turns_per_sec_median": round(n_turns / medians["pipeline_e2e"], 1),
         "n_turns_sustained": n_sustained,
         "turns_per_sec_sustained": round(
             n_sustained / timings["pipeline_sustained"], 1
         ),
+        "turns_per_sec_sustained_median": round(
+            n_sustained / medians["pipeline_sustained"], 1
+        ),
+        # verbose per-rep evidence goes to BENCH/local_last_run.json,
+        # NOT onto the printed line: r4's full-columns line overflowed
+        # the driver's tail-capture buffer and the official artifact
+        # recorded "parsed": null (VERDICT r4 #1)
+        "_verbose": {
+            "queries_single_shot": single_shot,
+            "queries_spread": spreads,
+            "queries_reps": reps_log,
+        },
     }
+
+
+MAX_CONTRACT_LINE_BYTES = 4000
+
+
+def contract_line(report: dict) -> str:
+    """The ONE printed JSON line, guaranteed compact: verbose columns
+    stay in the side file, and if the line still exceeds the budget
+    (e.g. the query list triples) the per-query maps degrade before
+    the headline metrics do."""
+    compact = {k: v for k, v in report.items() if k != "_verbose"}
+    for drop in ("queries_median", "queries"):
+        line = json.dumps(compact)
+        if len(line.encode()) <= MAX_CONTRACT_LINE_BYTES:
+            return line
+        compact.pop(drop, None)
+    return json.dumps(compact)
+
+
+def write_verbose(report: dict, path: str | None = None) -> str:
+    """Full record (incl. per-rep timings) to BENCH/local_last_run.json
+    — the self-adjudication evidence the printed line points to."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = path or os.path.join(repo, "BENCH", "local_last_run.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    full = {k: v for k, v in report.items() if k != "_verbose"}
+    full.update(report.get("_verbose", {}))
+    with open(out, "w") as f:
+        json.dump(full, f, indent=1)
+    return out
 
 
 def _spin(n: int) -> int:
@@ -618,7 +676,10 @@ def main() -> None:
     elif args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
     else:
-        print(json.dumps(run_bench(args.sf_dir, args.cores, args.pipeline_only)))
+        report = run_bench(args.sf_dir, args.cores, args.pipeline_only)
+        path = write_verbose(report)
+        print(f"[bench] verbose record: {path}", file=sys.stderr)
+        print(contract_line(report))
 
 
 if __name__ == "__main__":

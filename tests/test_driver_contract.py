@@ -80,6 +80,49 @@ def test_rotation_without_correctness_files(tmp_path):
     assert E._verified_last_round(repo_dir=str(tmp_path)) == set()
 
 
+def test_bench_contract_line_stays_parseable(tmp_path):
+    # r4's official artifact recorded "parsed": null because the
+    # printed line outgrew the driver's tail-capture buffer — the
+    # contract line must stay bounded no matter how the query registry
+    # grows, degrading per-query maps before headline metrics
+    import json
+
+    import bench
+
+    q = {f"query_name_{i:03d}": round(0.1 * i, 4) for i in range(60)}
+    report = {
+        "metric": "parse_route_aggregate_total",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": q,
+        "queries_median": q,
+        "pipeline": {"e2e_median": 1.0, "e2e_spread": 0.1,
+                     "sustained_median": 2.0, "sustained_spread": 0.2,
+                     "reps": 3},
+        "sf": 0.1,
+        "cores": 32,
+        "turns_per_sec": 100.0,
+        "_verbose": {"queries_reps": {k: [v, v, v] for k, v in q.items()}},
+    }
+    line = bench.contract_line(report)
+    assert len(line.encode()) <= bench.MAX_CONTRACT_LINE_BYTES
+    parsed = json.loads(line)
+    assert parsed["metric"] and parsed["pipeline"]["reps"] == 3
+    assert "_verbose" not in parsed
+    # a pathologically bloated registry degrades but still parses,
+    # keeping the headline metrics
+    big = dict(report, queries={f"q{i}": 0.1 for i in range(2000)},
+               queries_median={f"q{i}": 0.1 for i in range(2000)})
+    line2 = bench.contract_line(big)
+    assert len(line2.encode()) <= bench.MAX_CONTRACT_LINE_BYTES
+    assert json.loads(line2)["turns_per_sec"] == 100.0
+    # verbose record carries the full evidence
+    out = bench.write_verbose(report, str(tmp_path / "local.json"))
+    full = json.loads(open(out).read())
+    assert full["queries_reps"]["query_name_000"] == [0.0, 0.0, 0.0]
+    assert "_verbose" not in full
+
+
 def test_query_and_oracle_keys_in_sync():
     q = set(E.queries())
     o = set(E.oracle_sql())
