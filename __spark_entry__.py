@@ -63,6 +63,7 @@ from log_aggregation_pipeline_spark.sources.transcripts import (
 # fixed query parameters (shared by Spark + oracle sides)
 JACCARD_K, JACCARD_T = 3, 0.4
 SHINGLE_CAP = 1000  # stop-shingle frequency cap (scale guardrail)
+NOVELTY_RARE_DF, NOVELTY_COMMON_DF = 2, 20  # ngram_novelty df thresholds
 DECONTAM_K, N_EVAL = 5, 20  # decontamination shingle size / eval-set size
 PACK_CAP, PACK_SHARDS = 512, 16  # sequence-packing bin capacity / shards
 CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8  # doc chunk window / overlap
@@ -504,6 +505,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_top_ngrams"] = lambda s, d: text_analysis.top_ngrams(
         _docs(s, d), k=JACCARD_K, top=20
     )
+    # count-based novelty: the integer-ratio "perplexity-ish" scorer
+    q["doc_ngram_novelty"] = lambda s, d: text_analysis.ngram_novelty(
+        _docs(s, d), k=JACCARD_K, rare_max_df=NOVELTY_RARE_DF,
+        common_min_df=NOVELTY_COMMON_DF,
+    )
     q["emb_rp_project"] = lambda s, d: similarity.rp_project(
         _emb(s, d), in_dim=64, out_dim=8
     )
@@ -847,6 +853,9 @@ def oracle_sql() -> dict[str, str]:
         k=DECONTAM_K, n_eval=N_EVAL,
     )
     o["doc_top_ngrams"] = oracle.top_ngrams_sql(JACCARD_K, top=20)
+    o["doc_ngram_novelty"] = oracle.ngram_novelty_sql(
+        JACCARD_K, NOVELTY_RARE_DF, NOVELTY_COMMON_DF
+    )
     o["emb_rp_project"] = oracle.rp_project_sql(
         similarity._hyperplanes(64, 8, 13), out_dim=8
     )

@@ -311,6 +311,11 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         )
 
         timed("doc_top_ngrams", lambda: noop(top_ngrams(docs)))
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            ngram_novelty,
+        )
+
+        timed("doc_ngram_novelty", lambda: noop(ngram_novelty(docs)))
         from log_aggregation_pipeline_spark.operators.chunking import (
             chunk_documents,
         )

@@ -444,6 +444,83 @@ def corpus_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    k: int = 3,
+    rare_max_df: int = 2,
+    common_min_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-based n-gram novelty score — the "perplexity-ish" corpus
+    scorer expressed entirely in INTEGER corpus frequencies (the
+    blueprint's quality-filter stage, log-aggregation-pipeline-
+    blueprint.md:269-274, next to the Gopher repetition family): a doc
+    whose k-grams are mostly corpus-unique is novel (or noise); one
+    whose k-grams are all high-frequency is boilerplate an LM already
+    saw many times.  A true n-gram LM log-probability needs float log
+    sums whose libm/JVM 1-ulp drift breaks cross-engine hashing, so
+    novelty is bucketed by document-frequency THRESHOLDS instead
+    (integer counts -> one integer-ratio division -> 6dp round ->
+    bucket from the rounded value, the gopher_rules technique):
+
+    - n_grams        distinct k-grams in the doc
+    - n_unique       grams appearing in NO other doc (corpus df = 1)
+    - n_rare         grams with df <= rare_max_df
+    - n_common       grams with df >= common_min_df
+    - novelty_ratio  n_rare / n_grams      (rounded, exact both engines)
+    - common_ratio   n_common / n_grams
+    - novelty_bucket 'novel' / 'mixed' / 'common' from the rounded ratio
+
+    Docs with < k tokens have no k-grams and are absent (the jaccard-
+    family convention; the exact-dedup stage owns tiny docs).
+
+    Plan shape / 100 TB posture: shingle projection (explode_outer —
+    see dedupe._explode_shingles) -> gram document-frequency count
+    (one shuffle on the gram, uniform content key, map-side partial)
+    -> equi-join grams->df (shuffle join on the gram; the df table is
+    the corpus vocabulary, far too big to broadcast at scale and never
+    collected) -> per-doc aggregate (one shuffle on the doc id).  All
+    three shuffles are content-keyed and skew-bounded: per-doc
+    shingles are DISTINCT so no single (doc, gram) key repeats."""
+    from log_aggregation_pipeline_spark.operators.dedupe import (
+        _explode_shingles,
+        _shingle_df,
+    )
+
+    ex = _explode_shingles(_shingle_df(df, k, text_col, id_col))
+    dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
+    agg = (
+        ex.join(dfreq, "_s")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_unique"),
+            F.sum((F.col("_df") <= rare_max_df).cast("long")).alias("n_rare"),
+            F.sum((F.col("_df") >= common_min_df).cast("long")).alias("n_common"),
+        )
+    )
+    novelty = F.round(F.col("n_rare") / F.col("n_grams"), 6)
+    common = F.round(F.col("n_common") / F.col("n_grams"), 6)
+    return (
+        agg.select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_unique",
+            "n_rare",
+            "n_common",
+            novelty.alias("novelty_ratio"),
+            common.alias("common_ratio"),
+        )
+        .withColumn(
+            "novelty_bucket",
+            F.when(F.col("novelty_ratio") >= 0.8, F.lit("novel"))
+            .when(F.col("novelty_ratio") >= 0.3, F.lit("mixed"))
+            .otherwise(F.lit("common")),
+        )
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     k: int = 3,

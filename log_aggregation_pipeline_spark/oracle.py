@@ -586,6 +586,51 @@ LIMIT {top}
 """
 
 
+def ngram_novelty_sql(
+    k: int, rare_max_df: int, common_min_df: int
+) -> str:
+    """Twin of text_analysis.ngram_novelty — same shingle CTE family
+    as the jaccard/top_ngrams oracles; count(CASE ...) (not sum) so
+    the conditional counts come back BIGINT like Spark's
+    sum(cast(long)), not HUGEINT (repo pivot gotcha); ratio = single
+    integer-numerator division rounded to 6dp, bucket from the
+    ROUNDED value."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ {gram} for i in range(1, len(t) - {k - 2}) ]) AS shingles
+  FROM toks WHERE len(t) >= {k}
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_grams,
+         count(CASE WHEN df = 1 THEN 1 END) AS n_unique,
+         count(CASE WHEN df <= {rare_max_df} THEN 1 END) AS n_rare,
+         count(CASE WHEN df >= {common_min_df} THEN 1 END) AS n_common
+  FROM ex JOIN dfreq USING (s)
+  GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id, n_grams, n_unique, n_rare, n_common,
+         round(n_rare * 1.0 / n_grams, 6) AS novelty_ratio,
+         round(n_common * 1.0 / n_grams, 6) AS common_ratio
+  FROM agg
+)
+SELECT doc_id, n_grams, n_unique, n_rare, n_common, novelty_ratio,
+       common_ratio,
+       CASE WHEN novelty_ratio >= 0.8 THEN 'novel'
+            WHEN novelty_ratio >= 0.3 THEN 'mixed'
+            ELSE 'common' END AS novelty_bucket
+FROM r
+"""
+
+
 def decontaminate_sql(k: int, n_eval: int, min_overlap: int = 1) -> str:
     """Eval-overlap contamination flags.  The eval set is the first
     ``n_eval`` docs by md5(doc_id) (the repo's standard deterministic

@@ -211,6 +211,37 @@ def test_gopher_rules_gates(spark):
     )
 
 
+def test_ngram_novelty_known_frequencies(spark):
+    """Hand-computed document frequencies on a 5-doc corpus: unique /
+    rare / common counts, the integer-ratio novelty, and the bucket
+    edges derived from the ROUNDED ratio."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # exact twin of 1: every gram df >= 2
+        (3, "a b c x y z"),        # shares only 'a b c' (df = 3)
+        (4, "q"),                  # < k tokens: absent from the output
+        (5, "m n o p"),            # fully corpus-unique grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in TA.ngram_novelty(
+            df, k=3, rare_max_df=2, common_min_df=3
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}
+    r1 = got[1]  # grams: 'a b c' df3, 'b c d' df2, 'c d e' df2
+    assert (r1.n_grams, r1.n_unique, r1.n_rare, r1.n_common) == (3, 0, 2, 1)
+    assert r1.novelty_ratio == round(2 / 3, 6)
+    assert r1.novelty_bucket == "mixed"
+    r3 = got[3]  # 'a b c' df3 + three df-1 grams
+    assert (r3.n_grams, r3.n_unique, r3.n_rare, r3.n_common) == (4, 3, 3, 1)
+    assert r3.novelty_ratio == 0.75 and r3.novelty_bucket == "mixed"
+    r5 = got[5]
+    assert r5.novelty_ratio == 1.0 and r5.novelty_bucket == "novel"
+    assert got[2].novelty_bucket == "mixed"
+
+
 def test_strip_markup(spark):
     rows = [
         (1, '<div class="a"><p>Hello &amp; <b>world</b></p>'
