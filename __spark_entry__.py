@@ -502,6 +502,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         jaccard_t=JACCARD_T, max_shingle_freq=SHINGLE_CAP,
         decontam_k=DECONTAM_K, n_eval=N_EVAL,
     )
+
+    def _funnel_neardup_mat(s, d):
+        # materialized-keeper form (the 100 TB shape: exact keepers
+        # written once, re-read by every stage) — same report, same
+        # oracle as the recomputed form
+        import tempfile
+
+        return corpus_prep_funnel_neardup(
+            _docs(s, d), quality_min=1.0, jaccard_k=JACCARD_K,
+            jaccard_t=JACCARD_T, max_shingle_freq=SHINGLE_CAP,
+            decontam_k=DECONTAM_K, n_eval=N_EVAL,
+            materialize_dir=tempfile.mkdtemp(prefix="lap_mat_") + "/keepers",
+        )
+
+    q["corpus_prep_funnel_neardup_mat"] = _funnel_neardup_mat
     q["doc_top_ngrams"] = lambda s, d: text_analysis.top_ngrams(
         _docs(s, d), k=JACCARD_K, top=20
     )
@@ -852,6 +867,9 @@ def oracle_sql() -> dict[str, str]:
         jaccard_t=JACCARD_T, max_shingle_freq=SHINGLE_CAP,
         k=DECONTAM_K, n_eval=N_EVAL,
     )
+    # materialization is a plan-shape option, not a semantics change:
+    # the oracle is identical by construction
+    o["corpus_prep_funnel_neardup_mat"] = o["corpus_prep_funnel_neardup"]
     o["doc_top_ngrams"] = oracle.top_ngrams_sql(JACCARD_K, top=20)
     o["doc_ngram_novelty"] = oracle.ngram_novelty_sql(
         JACCARD_K, NOVELTY_RARE_DF, NOVELTY_COMMON_DF

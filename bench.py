@@ -336,6 +336,18 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         timed("corpus_prep_funnel_neardup",
               lambda: noop(corpus_prep_funnel_neardup(docs)))
 
+        # materialized-keeper form: fresh dir per rep (a reused dir
+        # would re-read the previous rep's files and skip the write)
+        def _neardup_mat():
+            mat_root = tempfile.mkdtemp(prefix="lap_bench_mat_")
+            try:
+                noop(corpus_prep_funnel_neardup(
+                    docs, materialize_dir=f"{mat_root}/keepers"))
+            finally:
+                shutil.rmtree(mat_root, ignore_errors=True)
+
+        timed("corpus_prep_funnel_neardup_mat", _neardup_mat)
+
     spark.stop()
     total = round(sum(timings.values()), 4)
     return {

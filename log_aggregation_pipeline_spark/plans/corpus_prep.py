@@ -93,6 +93,7 @@ def corpus_prep_funnel_neardup(
     n_eval: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """The funnel with a NEAR-dup stage between exact dedup and the
     quality floor — the full curation recipe a pretraining run uses:
@@ -120,10 +121,17 @@ def corpus_prep_funnel_neardup(
     Plan notes: the only nested-loop joins are the 1x1 crossJoins of
     the single-row report aggregates (free by construction; pinned
     no-CartesianProduct in tests/test_plans.py).  The exact-keeper
-    sub-plan is recomputed by several stages (~5 extra column-pruned
-    scans); at 100 TB, materialize the keeper set to parquet between
-    stages instead (the plans/pipeline.py write-then-reread idiom —
-    measured faster than persist() for wide frames)."""
+    sub-plan is referenced by several stages; with the default
+    ``materialize_dir=None`` Catalyst recomputes it per reference (~5
+    extra column-pruned scans — fine at test scale).  Passing
+    ``materialize_dir`` writes the exact-keeper set to parquet ONCE
+    (eagerly, at call time — the plans/pipeline.py write-then-reread
+    idiom, measured faster than persist() for wide frames) and every
+    downstream stage re-reads the written files column-pruned: the
+    final plan contains no hash-dedup aggregate at all, only keeper
+    scans.  This is the 100 TB form — recomputing the exact-dedup
+    shuffle 5x over the full corpus is 5 corpus-wide shuffles for one
+    report."""
     from log_aggregation_pipeline_spark.operators.cluster import (
         cluster_drop_list,
     )
@@ -132,6 +140,9 @@ def corpus_prep_funnel_neardup(
     )
 
     exact = exact_dedup_rows(docs, text_col=text_col, id_col=id_col)
+    if materialize_dir is not None:
+        exact.write.mode("overwrite").parquet(materialize_dir)
+        exact = docs.sparkSession.read.parquet(materialize_dir)
     pairs = ngram_jaccard_pairs(
         exact, k=jaccard_k, threshold=jaccard_t,
         max_shingle_freq=max_shingle_freq, text_col=text_col,

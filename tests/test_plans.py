@@ -238,6 +238,41 @@ def test_neardup_funnel_no_cartesian(spark):
     assert "CartesianProduct" not in p
 
 
+def test_neardup_funnel_materialized_single_keeper_scan(spark):
+    """materialize_dir kills the 5x exact-keeper sub-plan recompute:
+    the keeper set is written once at call time and every downstream
+    stage re-reads the written parquet, so the FINAL plan contains no
+    content-hash dedup window at all — only keeper-file scans — and
+    the report matches the recomputed form exactly."""
+    import shutil
+    import tempfile
+
+    from log_aggregation_pipeline_spark.plans.corpus_prep import (
+        corpus_prep_funnel_neardup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # short path: Spark truncates FileScan Location strings, and the
+    # marker below must survive into the printed plan
+    root = tempfile.mkdtemp(prefix="lap_mat_")
+    try:
+        mat = f"{root}/keepers"
+        rep_mat = corpus_prep_funnel_neardup(docs, materialize_dir=mat)
+        p = plan_of(rep_mat)
+        # the exact-dedup stage is a row_number window over the content
+        # hash whose marker column is "_rn" (unique to exact_dedup_rows);
+        # with the keeper set materialized that window ran eagerly at
+        # call time and must be absent from the returned plan
+        recomputed = plan_of(corpus_prep_funnel_neardup(docs))
+        assert recomputed.count("_rn#") >= 2  # recomputed per reference
+        assert "_rn#" not in p
+        assert "CartesianProduct" not in p
+        assert "/keepers" in p  # downstream stages scan the written files
+        assert rep_mat.collect() == corpus_prep_funnel_neardup(docs).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_dataset_card_single_scan(spark):
     """The card's majority language is folded inside the one
     per-source aggregate — a second (source, lang) aggregate would
