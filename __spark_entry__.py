@@ -68,6 +68,9 @@ DECONTAM_K, N_EVAL = 5, 20  # decontamination shingle size / eval-set size
 PACK_CAP, PACK_SHARDS = 512, 16  # sequence-packing bin capacity / shards
 CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8  # doc chunk window / overlap
 SAMPLE_FRAC, SAMPLE_IDS = 0.1, ["conv_id", "turn_idx"]
+# corpus mixer recipe: relative source weights -> token-budget draw
+MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}
+MIX_TOKEN_BUDGET = 2000
 EMB_NEAR_T = 0.3
 ANN_QUERY_VEC, ANN_K = 0, 10
 SEARCH_Q = SearchQuery(
@@ -380,6 +383,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_reservoir_200"] = lambda s, d: sampling.reservoir_sample(
         transcripts_from_events(s, d), 200, SAMPLE_IDS
     ).select("conv_id", "turn_idx")
+    # corpus mixer: per-source weights -> deterministic token-budget
+    # draw (the curation step after dataset_card)
+    q["corpus_mix_weighted"] = lambda s, d: sampling.corpus_mix(
+        _docs(s, d), MIX_WEIGHTS, MIX_TOKEN_BUDGET
+    )
 
     # per-conversation grouped-map features: plain + skew-safe blocked
     # two-phase form (block_size=8 so the merge path engages at sf0.01)
@@ -811,6 +819,11 @@ def oracle_sql() -> dict[str, str]:
     )
     o["sample_reservoir_200"] = oracle.reservoir_sample_sql(
         200, SAMPLE_IDS, select="conv_id, turn_idx"
+    )
+    # integer targets computed once (sampling.mix_targets) and passed
+    # to BOTH engines as literals — weights never divide in-engine
+    o["corpus_mix_weighted"] = oracle.corpus_mix_sql(
+        sampling.mix_targets(MIX_WEIGHTS, MIX_TOKEN_BUDGET)
     )
     o["conv_features"] = oracle.conv_features_sql()
     o["conv_features_salted"] = oracle.conv_features_sql()

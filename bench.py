@@ -316,6 +316,14 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         )
 
         timed("doc_ngram_novelty", lambda: noop(ngram_novelty(docs)))
+        from log_aggregation_pipeline_spark.operators.sampling import (
+            corpus_mix,
+        )
+
+        from __spark_entry__ import MIX_TOKEN_BUDGET, MIX_WEIGHTS
+
+        timed("corpus_mix_weighted", lambda: noop(
+            corpus_mix(docs, MIX_WEIGHTS, MIX_TOKEN_BUDGET)))
         from log_aggregation_pipeline_spark.operators.chunking import (
             chunk_documents,
         )

@@ -85,6 +85,70 @@ def reservoir_sample(
     )
 
 
+def mix_targets(weights: dict[str, float], token_budget: int) -> dict[str, int]:
+    """Per-source token targets: floor(budget * w / sum(w)), computed
+    ONCE driver-side and embedded as integer literals in both the
+    Spark plan and the DuckDB oracle — the float division never runs
+    inside either engine, so 1-ulp drift cannot split the twins."""
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    total = sum(weights.values())
+    if not weights or total <= 0:
+        raise ValueError("weights must be a non-empty map with positive sum")
+    return {s: int(token_budget * w / total) for s, w in weights.items()}
+
+
+def corpus_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 17,
+) -> DataFrame:
+    """Corpus mixing/weighting — the curation step after
+    ``dataset_card``: draw documents per source until each source's
+    share of the token budget is filled (e.g. 3x web, 1x code, 0.5x
+    forums), deterministically.
+
+    Docs inside each source are ordered by the seeded md5 rank key
+    (``sample_key`` — uniform, content-derived, reproducible across
+    engines) and taken while the running token total stays within the
+    source's target; sources absent from ``weights`` get target 0 and
+    drop out.  The greedy prefix draw means the budget is filled to
+    within one document per source — exact-fill packing is
+    ``packing.pack_sequences``' job, not the mixer's.
+
+    Output: the selected rows as (id, source, n_tokens, cum_tokens).
+
+    Scale shape: ONE shuffle keyed on the source (the cumsum window);
+    each source's stratum is sorted, the same caveat as
+    ``stratified_sample_exact`` — for a source too large to sort,
+    pre-filter with ``hash_sample`` at ~target/total_tokens fraction
+    and mix the survivors."""
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        whitespace_token_count,
+    )
+
+    targets = mix_targets(weights, token_budget)
+    tgt: Column = F.lit(0).cast("long")
+    for s, t in targets.items():  # literal CASE chain, mirrored in SQL
+        tgt = F.when(F.col(source_col) == s, F.lit(t).cast("long")).otherwise(tgt)
+    key = sample_key([id_col], seed)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(key.asc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", whitespace_token_count(text_col))
+        .withColumn("_cum", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("_cum") <= tgt)
+        .select(id_col, source_col, "n_tokens", F.col("_cum").alias("cum_tokens"))
+    )
+
+
 def stratified_reservoir(
     df: DataFrame,
     strata_cols: list[str],

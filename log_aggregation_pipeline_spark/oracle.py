@@ -117,6 +117,31 @@ SELECT {select} FROM transcripts ORDER BY {order} LIMIT {k}
 """
 
 
+def corpus_mix_sql(targets: dict[str, int], seed: int = 17) -> str:
+    """Twin of sampling.corpus_mix over the documents table: same
+    seeded md5 rank order, same running-total window, same integer
+    target literals (computed ONCE by sampling.mix_targets and passed
+    in — no float math inside either engine).  cast(... AS BIGINT) on
+    the window sum: DuckDB's sum(BIGINT) is HUGEINT and would
+    hash-diverge from Spark's long (repo pivot gotcha)."""
+    key = _sample_key_sql(["doc_id"], seed)
+    case = " ".join(f"WHEN '{s}' THEN {t}" for s, t in targets.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {N_TOKENS_SQL} AS n_tokens, {key} AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= CASE source {case} ELSE 0 END
+"""
+
+
 def conv_features_sql(events_relation: str = "events") -> str:
     """GROUP BY twin of operators.features.conv_features: gaps in
     integer microseconds, each ratio a single integer double-division

@@ -181,3 +181,46 @@ def test_blocked_partials_bound_group_size(skewed):
         .first()[0]
     )
     assert mx <= b
+
+
+def test_corpus_mix_fills_per_source_targets(spark):
+    """Hand-mirrored greedy draw: weights {A:2, B:1}, budget 90 ->
+    targets A=60, B=30; docs ordered by the seeded md5 key inside each
+    source, taken while the running token total fits.  Source C has no
+    weight and must be absent; the draw is maximal (the next doc in
+    key order would overflow the target) and deterministic."""
+    import hashlib
+
+    rows = (
+        [(i, "w " * 20, "A") for i in range(1, 6)]      # 20 tokens each
+        + [(i, "x " * 12, "B") for i in range(10, 15)]  # 12 tokens each
+        + [(20, "y " * 5, "C")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    weights = {"A": 2.0, "B": 1.0}
+    targets = SA.mix_targets(weights, 90)
+    assert targets == {"A": 60, "B": 30}
+    got = SA.corpus_mix(df, weights, 90).collect()
+    by_src: dict[str, list] = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == {"A", "B"}
+
+    def mirror(ids, per_doc, target):
+        order = sorted(ids, key=lambda d: (hashlib.md5(f"{d}:17".encode()).hexdigest(), d))
+        picked, cum = [], 0
+        for d in order:
+            if cum + per_doc > target:
+                break
+            cum += per_doc
+            picked.append(d)
+        return picked
+
+    assert sorted(r.doc_id for r in by_src["A"]) == sorted(mirror(range(1, 6), 20, 60))
+    assert sorted(r.doc_id for r in by_src["B"]) == sorted(mirror(range(10, 15), 12, 30))
+    assert len(by_src["A"]) == 3 and len(by_src["B"]) == 2
+    assert max(r.cum_tokens for r in by_src["A"]) == 60
+    assert max(r.cum_tokens for r in by_src["B"]) == 24
+    # deterministic: an independent run selects the identical set
+    again = {(r.doc_id, r.cum_tokens) for r in SA.corpus_mix(df, weights, 90).collect()}
+    assert again == {(r.doc_id, r.cum_tokens) for r in got}
