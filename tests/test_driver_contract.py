@@ -29,6 +29,37 @@ def test_every_unverified_query_inside_driver_window():
     assert len(unverified) <= E.DRIVER_WINDOW
 
 
+def test_registry_growth_within_rotation_bound():
+    # the rotation's induction step needs every unverified entry to
+    # fit the window TOGETHER: new registrations this round may take
+    # at most window - carried slots, where carried = entries whose
+    # last driver row exists but was not a clean pass (they re-enter
+    # the window ahead of nothing).  Both terms are computed from the
+    # newest correctness file, not maintained as constants — the bound
+    # tightens automatically in a round after driver failures.
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(E.__file__))
+    files = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    latest = max(
+        files,
+        key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
+    )
+    with open(latest) as f:
+        seen_last_round = set(json.load(f))
+    q = set(E.queries())
+    new = q - seen_last_round                # no driver row at all yet
+    carried = (q & seen_last_round) - E._verified_last_round()  # failed rows
+    assert len(new) <= E.DRIVER_WINDOW - len(carried), (
+        f"registry grew too fast: {len(new)} new entries + {len(carried)} "
+        f"carried-unverified exceed the {E.DRIVER_WINDOW}-entry window; "
+        "defer some registrations a round or staleness exceeds 1 round"
+    )
+
+
 def test_rotated_out_entries_still_registered():
     # rotation defers a query's driver row; it must never drop the
     # query (or its oracle) from the contract, and the tail must be
