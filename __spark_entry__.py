@@ -64,6 +64,12 @@ from log_aggregation_pipeline_spark.sources.transcripts import (
 JACCARD_K, JACCARD_T = 3, 0.4
 SHINGLE_CAP = 1000  # stop-shingle frequency cap (scale guardrail)
 NOVELTY_RARE_DF, NOVELTY_COMMON_DF = 2, 20  # ngram_novelty df thresholds
+# incremental dedup: docs below the split are the existing corpus,
+# at/above are the new batch; clone params build the deterministic
+# duplicate injections both engines derive from doc_id
+INCR_SPLIT = 400
+INCR_CLONE_SEEN, INCR_CLONE_SEEN_OFF = 25, 10_000
+INCR_CLONE_NEW, INCR_CLONE_NEW_OFF = 50, 20_000
 DECONTAM_K, N_EVAL = 5, 20  # decontamination shingle size / eval-set size
 PACK_CAP, PACK_SHARDS = 512, 16  # sequence-packing bin capacity / shards
 CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8  # doc chunk window / overlap
@@ -425,6 +431,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_shingle_freq=SHINGLE_CAP,
         ),
     )
+    def _incremental_exact(s, d):
+        # deterministic increment construction (oracle twin in
+        # oracle.incremental_exact_sql): the synthetic corpus has no
+        # exact copies, so both sides inject the same doc_id-derived
+        # clones — seen-clones must fall to the anti-join, in-batch
+        # clones to the lowest-id window
+        did = F.col("doc_id")
+        docs = _docs(s, d)
+        seen = docs.filter(did < INCR_SPLIT)
+        new = docs.filter(did >= INCR_SPLIT)
+        clones_seen = seen.filter(did % INCR_CLONE_SEEN == 0).withColumn(
+            "doc_id", did + INCR_CLONE_SEEN_OFF
+        )
+        clones_new = new.filter(did % INCR_CLONE_NEW == 0).withColumn(
+            "doc_id", did + INCR_CLONE_NEW_OFF
+        )
+        batch = new.unionByName(clones_seen).unionByName(clones_new)
+        return dedupe.incremental_exact_new(batch, seen).select(
+            "doc_id", "content_hash"
+        )
+
+    q["doc_incremental_exact_new"] = _incremental_exact
+    # incremental near-dup: new batch's minhash bands joined against
+    # the existing corpus's bands only (never corpus-vs-corpus)
+    q["doc_incremental_neardup_new"] = lambda s, d: dedupe.minhash_lsh_pairs_cross(
+        _docs(s, d).filter(F.col("doc_id") >= INCR_SPLIT),
+        _docs(s, d).filter(F.col("doc_id") < INCR_SPLIT),
+        num_hashes=64, bands=16, threshold=JACCARD_T, k=JACCARD_K,
+    )
+
     def _decontaminate(s, d):
         docs = _docs(s, d)
         ev = decontam.eval_split(docs, N_EVAL)
@@ -852,6 +888,15 @@ def oracle_sql() -> dict[str, str]:
             include_common=False,
         ),
         oracle.quality_sql(text_analysis.STOPWORDS),
+    )
+    o["doc_incremental_exact_new"] = oracle.incremental_exact_sql(
+        INCR_SPLIT, INCR_CLONE_SEEN, INCR_CLONE_SEEN_OFF,
+        INCR_CLONE_NEW, INCR_CLONE_NEW_OFF,
+    )
+    # exact cross-side jaccard is a true oracle for the banded-LSH
+    # form at 64x16 (same recall arithmetic as doc_minhash_lsh_pairs)
+    o["doc_incremental_neardup_new"] = oracle.cross_jaccard_sql(
+        JACCARD_K, JACCARD_T, INCR_SPLIT
     )
     o["doc_decontaminate"] = oracle.decontaminate_sql(DECONTAM_K, N_EVAL)
     o["doc_redact_stats"] = oracle.redact_stats_sql(redact.REDACTIONS)

@@ -324,6 +324,19 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
 
         timed("corpus_mix_weighted", lambda: noop(
             corpus_mix(docs, MIX_WEIGHTS, MIX_TOKEN_BUDGET)))
+        from log_aggregation_pipeline_spark.operators.dedupe import (
+            incremental_exact_new,
+            minhash_lsh_pairs_cross,
+        )
+
+        # incremental dedup: 10% of docs as the "new" batch vs the rest
+        # (a fraction split so the shape holds at any sf)
+        seen_b = docs.filter("doc_id % 10 != 0")
+        new_b = docs.filter("doc_id % 10 = 0")
+        timed("doc_incremental_exact_new", lambda: noop(
+            incremental_exact_new(new_b, seen_b)))
+        timed("doc_incremental_neardup_new", lambda: noop(
+            minhash_lsh_pairs_cross(new_b, seen_b)))
         from log_aggregation_pipeline_spark.operators.chunking import (
             chunk_documents,
         )

@@ -97,6 +97,54 @@ def exact_dedup_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+def seen_content_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct content hashes of an existing corpus — the (tiny
+    relative to the corpus) state an incremental dedup needs.  At
+    scale this is computed ONCE at ingest and stored as its own
+    table; passing raw docs here recomputes it from a column-pruned
+    scan."""
+    return df.select(content_hash(text_col).alias("content_hash")).distinct()
+
+
+def incremental_exact_new(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an existing corpus — the
+    daily-crawl increment pattern: never re-pair the corpus with
+    itself, only the new batch within itself (window, lowest id wins)
+    and against the seen hash set (left_anti join).
+
+    ``seen`` is either raw documents or a precomputed
+    ``seen_content_hashes`` table (detected by its ``content_hash``
+    column).  Returns the surviving new rows with ``content_hash``
+    attached (the state to append to the seen table for the next
+    increment — the operator is its own state maintainer).
+
+    Scale shape: one window shuffle over the NEW batch only (batch
+    sized, not corpus sized) + one anti-join keyed on the hash.  The
+    anti-join shuffles the seen hash set once; at 100 TB keep the
+    seen table bucketed by content_hash so only the new side moves."""
+    seen_h = (
+        seen.select("content_hash")
+        if "content_hash" in seen.columns
+        else seen_content_hashes(seen, text_col)
+    )
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    batch_keep = (
+        new_docs.withColumn("content_hash", content_hash(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return batch_keep.join(seen_h, "content_hash", "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard pairs (exact near-dup)
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(
@@ -235,6 +283,94 @@ def minhash_signatures(
     )
 
 
+def _band_df(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(_id, band, bh) — one row per (doc, band), bh = hash of the
+    band's r signature slots.  Shared by the self-join and the
+    incremental cross-join forms."""
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", bi * r + j + 1) for j in range(r)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bh")
+
+
+def minhash_lsh_pairs_cross(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup: NEW docs that near-duplicate the EXISTING
+    corpus, via banded MinHash buckets joined ACROSS the two tables +
+    exact Jaccard verify.  Returns (seen_id, new_id, jaccard) — the
+    complement of ``minhash_lsh_pairs`` for the daily-crawl increment:
+    the corpus is never re-paired with itself, only new-vs-seen
+    buckets collide.  (In-batch new-vs-new dups are
+    ``minhash_lsh_pairs`` over the batch; exact copies are
+    ``incremental_exact_new``.)
+
+    Scale shape: the seen side's signatures/bands depend only on the
+    seen docs — at 100 TB compute them ONCE at ingest and store the
+    band table bucketed by (band, bh), so each increment shuffles
+    only the (batch-sized) new side; the verify join fetches shingle
+    arrays for candidates only.  Same recall arithmetic as
+    ``minhash_lsh_pairs``: miss probability (1-j^r)^b per true pair."""
+    r = num_hashes // bands
+    sh_new = _shingle_df(new_docs, k, text_col, id_col).persist()
+    sh_seen = _shingle_df(seen_docs, k, text_col, id_col).persist()
+    band_new = _band_df(
+        minhash_signatures(new_docs, num_hashes, k, text_col, id_col,
+                           shingles=sh_new),
+        bands, r,
+    )
+    band_seen = _band_df(
+        minhash_signatures(seen_docs, num_hashes, k, text_col, id_col,
+                           shingles=sh_seen),
+        bands, r,
+    )
+    cand = (
+        band_seen.alias("a")
+        .join(
+            band_new.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(F.col("a._id").alias("seen_id"), F.col("b._id").alias("new_id"))
+        .distinct()
+    )
+    return (
+        cand.join(sh_seen.withColumnsRenamed({"_id": "seen_id", "_sh": "sha"}),
+                  "seen_id")
+        .join(sh_new.withColumnsRenamed({"_id": "new_id", "_sh": "shb"}),
+              "new_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("seen_id", "new_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 32,
@@ -258,22 +394,7 @@ def minhash_lsh_pairs(
     # element_at x k) is the expensive part, not the data volume.
     sh = _shingle_df(df, k, text_col, id_col).persist()
     sig = minhash_signatures(df, num_hashes, k, text_col, id_col, shingles=sh)
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", bi * r + j + 1) for j in range(r)]
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bh")
+    banded = _band_df(sig, bands, r)
     cand = (
         banded.alias("a")
         .join(

@@ -480,9 +480,16 @@ def ngram_novelty(
     (one shuffle on the gram, uniform content key, map-side partial)
     -> equi-join grams->df (shuffle join on the gram; the df table is
     the corpus vocabulary, far too big to broadcast at scale and never
-    collected) -> per-doc aggregate (one shuffle on the doc id).  All
-    three shuffles are content-keyed and skew-bounded: per-doc
-    shingles are DISTINCT so no single (doc, gram) key repeats."""
+    collected) -> per-doc aggregate (one shuffle on the doc id).
+    Hot stop-grams skew the join key, which is why this is a JOIN
+    (AQE splits skewed join partitions at runtime) and not a
+    count-over-window — a window partition cannot be split, and a
+    billion-row stop-gram partition would straggle or OOM.  The
+    shingle projection feeds both join sides, so Catalyst computes it
+    twice (the df side's exchange carries map-side partial counts —
+    different payload, no exchange reuse); at 100 TB write the
+    exploded shingles to parquet once and feed the written table to
+    both sides (the corpus_prep materialize_dir idiom)."""
     from log_aggregation_pipeline_spark.operators.dedupe import (
         _explode_shingles,
         _shingle_df,

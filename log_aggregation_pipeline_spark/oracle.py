@@ -611,6 +611,69 @@ LIMIT {top}
 """
 
 
+def incremental_exact_sql(
+    split_id: int, clone_seen_every: int, clone_seen_offset: int,
+    clone_new_every: int, clone_new_offset: int,
+) -> str:
+    """Twin of dedupe.incremental_exact_new over the deterministic
+    increment construction both sides build from doc_id: seen = docs
+    below the split; the new batch = docs at/above the split, plus
+    clones of every ``clone_seen_every``-th seen doc (re-labeled
+    +offset — must be dropped by the anti-join) and of every
+    ``clone_new_every``-th new doc (+offset — must lose the in-batch
+    lowest-id window).  min(doc_id) per hash == the window's
+    lowest-id winner."""
+    return f"""
+WITH h AS (SELECT doc_id, md5({NORM_SQL}) AS ch FROM documents),
+seen AS (SELECT ch FROM h WHERE doc_id < {split_id}),
+new_batch AS (
+  SELECT doc_id, ch FROM h WHERE doc_id >= {split_id}
+  UNION ALL
+  SELECT doc_id + {clone_seen_offset}, ch FROM h
+  WHERE doc_id < {split_id} AND doc_id % {clone_seen_every} = 0
+  UNION ALL
+  SELECT doc_id + {clone_new_offset}, ch FROM h
+  WHERE doc_id >= {split_id} AND doc_id % {clone_new_every} = 0
+),
+keep AS (SELECT ch, min(doc_id) AS doc_id FROM new_batch GROUP BY ch)
+SELECT doc_id, ch AS content_hash FROM keep
+WHERE ch NOT IN (SELECT ch FROM seen)
+"""
+
+
+def cross_jaccard_sql(k: int, threshold: float, split_id: int) -> str:
+    """Twin of dedupe.minhash_lsh_pairs_cross (seen = below the split,
+    new = at/above): exact cross-side Jaccard — valid as the LSH
+    oracle for the same reason as doc_minhash_lsh_pairs (64x16 bands
+    push the per-pair miss probability at the corpus's 0.8 jaccard
+    floor to ~2e-4, so LSH+verify equals the exact pair set)."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ {gram} for i in range(1, len(t) - {k - 2}) ]) AS shingles
+  FROM toks WHERE len(t) >= {k}
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+p AS (
+  SELECT a.doc_id AS seen_id, b.doc_id AS new_id, count(*) AS nc
+  FROM ex a JOIN ex b ON a.s = b.s
+  WHERE a.doc_id < {split_id} AND b.doc_id >= {split_id}
+  GROUP BY 1, 2
+)
+SELECT seen_id, new_id,
+       round(nc * 1.0 / (sa.n + sb.n - nc), 6) AS jaccard
+FROM p
+JOIN sz sa ON sa.doc_id = seen_id
+JOIN sz sb ON sb.doc_id = new_id
+WHERE round(nc * 1.0 / (sa.n + sb.n - nc), 6) >= {threshold}
+"""
+
+
 def ngram_novelty_sql(
     k: int, rare_max_df: int, common_min_df: int
 ) -> str:

@@ -34,6 +34,48 @@ from log_aggregation_pipeline_spark.operators.text_analysis import (
 DOCS_SCHEMA = "doc_id long, source string, text string"
 
 
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    in_dir: str,
+    seen_hashes_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Incremental dedup as a stream: new docs arriving in ``in_dir``
+    are content-hashed and STREAM-STATIC left_anti joined against the
+    seen-hash table (``dedupe.seen_content_hashes`` written to
+    ``seen_hashes_dir``); only corpus-novel docs land in ``out_dir``,
+    with ``content_hash`` attached — the rows to append to the seen
+    table before the next increment.
+
+    The static side is re-read per micro-batch by Spark's stream-static
+    join, so refreshing the seen table between increments needs no
+    stream restart.  In-batch duplicate pairs are NOT collapsed here
+    (that is ``dropDuplicatesWithinWatermark`` composed upstream, or
+    the batch ``incremental_exact_new`` window); this leg is the
+    corpus-novelty gate, stateless and checkpointed — exactly-once
+    per input file, no state store."""
+    from log_aggregation_pipeline_spark.operators.dedupe import content_hash
+
+    cp = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(in_dir)
+    seen = spark.read.parquet(seen_hashes_dir).select("content_hash")
+    novel = src.withColumn("content_hash", content_hash("text")).join(
+        seen, "content_hash", "left_anti"
+    )
+    q = (
+        novel.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def run_curation_stream(
     spark: SparkSession,
     in_dir: str,

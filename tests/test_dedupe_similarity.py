@@ -316,3 +316,58 @@ def test_rp_project_deterministic_and_shuffle_free(spark, sf_emb):
     b = S.rp_project(sf_emb).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert "Exchange" not in plan_of(S.rp_project(sf_emb))
+
+
+def test_incremental_exact_new(spark):
+    """New-batch-vs-corpus exact dedup: a new doc whose normalized
+    content the corpus already holds is dropped by the anti-join; an
+    in-batch duplicate pair keeps only its lowest id; genuinely new
+    content survives with its content_hash attached."""
+    seen = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Alpha  Beta gamma"),   # normalizes equal to seen 0 -> drop
+            (11, "brand new content"),
+            (12, "brand  NEW content"),  # in-batch dup of 11 -> window drop
+            (13, "another fresh doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.incremental_exact_new(new, seen).collect()
+    assert sorted(r.doc_id for r in out) == [11, 13]
+    assert all(r.content_hash for r in out)
+    # precomputed-hash-table form of the seen side is equivalent
+    out2 = D.incremental_exact_new(new, D.seen_content_hashes(seen)).collect()
+    assert sorted(r.doc_id for r in out2) == [11, 13]
+
+
+def test_incremental_minhash_cross_equals_exact_cross(sf_docs):
+    """The incremental banded form finds exactly the cross-side subset
+    of the full corpus's near-dup pairs: pairs(new <-> seen) ==
+    full-corpus pairs with one endpoint on each side, and never a
+    within-side pair."""
+    split = 25
+    seen = sf_docs.filter(F.col("doc_id") < split)
+    new = sf_docs.filter(F.col("doc_id") >= split)
+    got = {
+        (r.seen_id, r.new_id): r.jaccard
+        for r in D.minhash_lsh_pairs_cross(
+            new, seen, num_hashes=64, bands=16, threshold=0.4
+        ).collect()
+    }
+    full = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in D.minhash_lsh_pairs(
+            sf_docs, num_hashes=64, bands=16, threshold=0.4
+        ).collect()
+    }
+    expected = {}
+    for (a, b), j in full.items():
+        lo, hi = (a, b) if a < b else (b, a)
+        if lo < split <= hi:
+            expected[(lo, hi)] = j
+    assert got == expected
+    assert all(s < split <= n for s, n in got)

@@ -324,3 +324,57 @@ def test_curation_stream_partitions_match_batch(spark, tmp_path):
     n = got.count()
     run_curation_stream(spark, in_dir, out_dir)
     assert spark.read.parquet(out_dir).count() == n
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Stream-static anti-join novelty gate: streamed output equals
+    the batch incremental dedup (modulo the in-batch window, absent
+    here), refreshing the seen table takes effect without restarting,
+    and the checkpoint makes re-runs incremental."""
+    from log_aggregation_pipeline_spark.operators.dedupe import (
+        incremental_exact_new,
+        seen_content_hashes,
+    )
+    from log_aggregation_pipeline_spark.streaming.curation import (
+        run_incremental_dedup_stream,
+    )
+
+    seen = spark.createDataFrame(
+        [(0, "a", "alpha beta gamma"), (1, "a", "delta epsilon zeta")],
+        "doc_id long, source string, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (10, "b", "Alpha  Beta gamma"),  # seen (normalized) -> dropped
+            (11, "b", "brand new content"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    seen_dir = str(tmp_path / "seen")
+    seen_content_hashes(seen).write.parquet(seen_dir)
+    batch1.write.parquet(in_dir)
+
+    run_incremental_dedup_stream(spark, in_dir, seen_dir, out_dir)
+    got1 = spark.read.parquet(out_dir)
+    assert [r.doc_id for r in got1.collect()] == [11]
+    exp = incremental_exact_new(batch1, seen).select("doc_id", "content_hash")
+    assert {(r.doc_id, r.content_hash) for r in got1.select("doc_id", "content_hash").collect()} == \
+        {(r.doc_id, r.content_hash) for r in exp.collect()}
+
+    # append the novel hashes to the seen table (the operator's own
+    # output is the next increment's state), drop a second batch in:
+    # the previously-novel content is now seen and must be dropped
+    got1.select("content_hash").write.mode("append").parquet(seen_dir)
+    batch2 = spark.createDataFrame(
+        [
+            (20, "c", "brand NEW  content"),  # novel in batch1, now seen
+            (21, "c", "entirely unseen words"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    batch2.write.mode("append").parquet(in_dir)
+    run_incremental_dedup_stream(spark, in_dir, seen_dir, out_dir)
+    got2 = spark.read.parquet(out_dir)
+    assert sorted(r.doc_id for r in got2.collect()) == [11, 21]
