@@ -117,6 +117,27 @@ _ROUTED_COLS = ["id", "conv_id", "turn_idx", "role", "tool", "level", "error_cod
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = 50
 
+# Entries whose SEMANTICS were touched this round even though their
+# last driver row passed: rotation alone would let them ride the tail
+# on stale evidence, so they sort directly after the unverified front
+# (still inside the window while 27 + len(RETOUCHED) <= 50).  Clear or
+# rewrite per round; leaving a stale name is harmless (it just keeps
+# priority).  r5: the regex-dialect fixes (normalize_text \s class,
+# gopher \p{L}, BPEISH class, markup newline-preserving collapse,
+# simhash pandas-core norm) touched these r4-verified entries.
+RETOUCHED: frozenset[str] = frozenset({
+    "doc_markup_strip",
+    "doc_gopher_quality",
+    "doc_chunks_bpeish",
+    "dataset_card",
+    "corpus_prep_funnel_neardup",
+    "doc_cluster_keepers",
+    "doc_lang_id",
+    "doc_lm_score",
+    "doc_fingerprint",
+    "doc_simhash_pairs",
+})
+
 
 def _verified_last_round(repo_dir: str | None = None) -> set[str]:
     """Query names that PASSED the driver check in the newest
@@ -168,11 +189,15 @@ def _verified_last_round(repo_dir: str | None = None) -> set[str]:
 
 def _rotate_window(q: dict) -> dict:
     """Staleness-first ordering: entries WITHOUT a driver row last
-    round first (build order preserved), last round's verified set
-    after them."""
+    round first (build order preserved), then RETOUCHED entries
+    (verified, but their semantics changed this round — stale
+    evidence), then the rest of last round's verified set."""
     done = _verified_last_round()
     ordered = {k: v for k, v in q.items() if k not in done}
-    ordered.update({k: v for k, v in q.items() if k in done})
+    ordered.update({k: v for k, v in q.items() if k in done and k in RETOUCHED})
+    ordered.update(
+        {k: v for k, v in q.items() if k in done and k not in RETOUCHED}
+    )
     return ordered
 
 
@@ -610,6 +635,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_token_counts"] = lambda s, d: text_analysis.with_token_counts(
         _docs(s, d)
     ).select("doc_id", "n_ws_tokens", "n_bpeish_tokens")
+    # per-source quality percentile: the keep-top-X%-per-source primitive
+    q["doc_quality_percentile"] = lambda s, d: text_analysis.quality_percentile(
+        _docs(s, d)
+    )
+    # term-frequency vocabulary (top_ngrams is the doc-freq complement)
+    q["doc_vocab_stats"] = lambda s, d: text_analysis.vocab_stats(
+        _docs(s, d), top=100
+    )
     q["doc_quality_features"] = lambda s, d: text_analysis.quality_features(
         _docs(s, d)
     ).select(
@@ -937,6 +970,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["doc_token_counts"] = oracle.token_counts_sql(text_analysis.BPEISH_PATTERN)
     o["doc_quality_features"] = oracle.quality_sql(text_analysis.STOPWORDS)
+    o["doc_quality_percentile"] = oracle.quality_percentile_sql(
+        text_analysis.STOPWORDS
+    )
+    o["doc_vocab_stats"] = oracle.vocab_stats_sql(100)
     o["doc_gopher_quality"] = oracle.gopher_sql(text_analysis.GOPHER_STOPS)
     o["dataset_card"] = oracle.dataset_card_sql(
         text_analysis.STOPWORDS, text_analysis.LANG_MARKERS,

@@ -312,6 +312,13 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
 
         timed("doc_top_ngrams", lambda: noop(top_ngrams(docs)))
         from log_aggregation_pipeline_spark.operators.text_analysis import (
+            quality_percentile,
+            vocab_stats,
+        )
+
+        timed("doc_quality_percentile", lambda: noop(quality_percentile(docs)))
+        timed("doc_vocab_stats", lambda: noop(vocab_stats(docs)))
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
             ngram_novelty,
         )
 

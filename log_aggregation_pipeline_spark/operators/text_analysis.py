@@ -9,7 +9,7 @@ decimals so cross-engine hashes agree.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedupe import normalize_text
@@ -417,7 +417,9 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def corpus_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
+def corpus_stats(
+    df: DataFrame, group_col: str = "source", exact: bool = True
+) -> DataFrame:
     """Per-group corpus composition report — the dataset card a
     training run starts from: doc counts, token totals, and the token-
     count distribution (exact interpolated p50/p95 via Spark's
@@ -425,22 +427,108 @@ def corpus_stats(df: DataFrame, group_col: str = "source") -> DataFrame:
     definition: linear interpolation at rank (n-1)*p).
 
     One shuffle keyed on the group column (sources are few and the
-    partial aggregation is map-side); percentile is the only
-    non-partial aggregate — it gathers the group's values, which is
-    fine for a per-SOURCE rollup (group count is tiny, per-group value
-    lists are bounded by group size; for a high-cardinality group key
-    switch to approx_percentile).  Ratios use integer numerators and a
-    single 6dp round so the doubles are bit-identical to the SQL twin
-    (repo float-oracle rule)."""
+    partial aggregation is map-side).  ``exact=True`` (default, the
+    oracle-checked form) gathers each group's values — fine for a
+    per-SOURCE rollup where groups are few and bounded.
+    ``exact=False`` is the high-cardinality scale path: Spark's
+    ``approx_percentile`` (Greenwald-Khanna sketch, mergeable so it
+    partial-aggregates map-side like any other partial agg; relative
+    rank error <= 1/accuracy=1e-4).  The sketch picks an OBSERVED
+    value rather than interpolating, so it has no cross-engine SQL
+    twin — keep it out of oracle paths and bound it against the exact
+    form instead (tests).  Ratios use integer numerators and a single
+    6dp round so the doubles are bit-identical to the SQL twin (repo
+    float-oracle rule)."""
+    if exact:
+        p50 = F.percentile("n_ws_tokens", F.lit(0.5))
+        p95 = F.percentile("n_ws_tokens", F.lit(0.95))
+    else:
+        p50 = F.approx_percentile("n_ws_tokens", F.lit(0.5), F.lit(10_000))
+        p95 = F.approx_percentile("n_ws_tokens", F.lit(0.95), F.lit(10_000))
     toks = with_token_counts(df)
     return toks.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_ws_tokens").alias("total_tokens"),
         F.min("n_ws_tokens").alias("min_tokens"),
         F.max("n_ws_tokens").alias("max_tokens"),
-        F.round(F.percentile("n_ws_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
-        F.round(F.percentile("n_ws_tokens", F.lit(0.95)), 6).alias("p95_tokens"),
+        F.round(p50.cast("double"), 6).alias("p50_tokens"),
+        F.round(p95.cast("double"), 6).alias("p95_tokens"),
         F.round(F.sum("n_ws_tokens") / F.count("*"), 6).alias("mean_tokens"),
+    )
+
+
+def quality_percentile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source quality position — the primitive behind "keep the
+    top X% of each source": rank docs inside each source by
+    quality_score DESC (ties broken by id — the score is a coarse
+    0.0-1.0 lattice, so ties are the COMMON case and an undefined
+    order would make top-X% selection nondeterministic), then the
+    percent-rank-style position q_pct = (q_rank-1)/(n-1) as one
+    integer-ratio division rounded to 6dp (0.0 for a 1-doc source).
+    ``filter(q_pct <= x)`` keeps the top x fraction exactly.
+
+    One shuffle keyed on the source (both windows share the
+    partitioning); same per-stratum sort caveat as
+    stratified_sample_exact."""
+    q = quality_features(df, text_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality_score"), F.col(id_col)
+    )
+    wn = Window.partitionBy(group_col)
+    return (
+        q.withColumn("q_rank", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .withColumn(
+            "q_pct",
+            F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                F.round((F.col("q_rank") - 1) / (F.col("_n") - 1), 6)
+            ),
+        )
+        .select(id_col, group_col, "quality_score", "q_rank", "q_pct")
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    top: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary by TERM frequency — the table a tokenizer/BPE
+    training prep starts from: the ``top`` tokens by total occurrence
+    count, with document frequency alongside (``top_ngrams`` is the
+    DOC-frequency complement over k-grams).  Ties break on the token
+    for a deterministic page.
+
+    Shape: token explode (occurrences, NOT distinct) -> one shuffle on
+    the token (uniform content key, map-side partial counts; the
+    distinct-doc count rides the same shuffle) ->
+    TakeOrderedAndProject.  count_distinct per token is exact here;
+    at extreme vocabulary scale swap approx_count_distinct and state
+    the error bound."""
+    norm = normalize_text(text_col)
+    ex = (
+        df.select(F.col(id_col).alias("_id"), norm.alias("_norm"))
+        .filter(F.col("_norm") != "")
+        # explode_OUTER: plain explode plants an implicit size>0
+        # filter that Catalyst pushes below the projection (the
+        # dedupe._explode_shingles gotcha); the array is non-empty by
+        # the _norm != '' guard, so the filter would be vacuous anyway
+        .select("_id", F.explode_outer(F.split("_norm", " ")).alias("token"))
+    )
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top)
     )
 
 

@@ -919,6 +919,50 @@ FROM ratios
 """
 
 
+def quality_percentile_sql(stopwords: tuple[str, ...]) -> str:
+    """Twin of text_analysis.quality_percentile: same deterministic
+    (quality DESC, doc_id) row_number order — NOT percent_rank(),
+    whose tie handling would differ from the pinned unique order —
+    and the same single integer-ratio division for q_pct.
+    row_number cast to INT (Spark's row_number is IntegerType)."""
+    return f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({quality_sql(stopwords)})),
+r AS (
+  SELECT d.doc_id, d.source, q.quality_score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY q.quality_score DESC, d.doc_id) AS rk,
+         count(*) OVER (PARTITION BY d.source) AS n
+  FROM documents d JOIN q USING (doc_id)
+)
+SELECT doc_id, source, quality_score,
+       CAST(rk AS INT) AS q_rank,
+       CASE WHEN n = 1 THEN 0.0
+            ELSE round((rk - 1) * 1.0 / (n - 1), 6) END AS q_pct
+FROM r
+"""
+
+
+def vocab_stats_sql(top: int) -> str:
+    """Twin of text_analysis.vocab_stats: occurrences via unnest of
+    the full (non-distinct) token list, doc frequency via
+    count(DISTINCT doc_id), ties on the token."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {NORM_SQL} AS norm FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+  FROM t WHERE norm != ''
+)
+SELECT token, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM ex
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {top}
+"""
+
+
 def dataset_card_sql(
     stopwords, markers, gopher_stops, quality_min: float
 ) -> str:

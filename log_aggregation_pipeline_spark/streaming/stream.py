@@ -100,6 +100,41 @@ def windowed_counts(
     )
 
 
+def sliding_term_counts(
+    stream: DataFrame,
+    term_col: str = "role",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming trending-terms feed: SLIDING-window term counts —
+    each event lands in window/slide overlapping windows, so the
+    emitted table answers "what is rising right now" at ``slide``
+    granularity without waiting a full window (the continuous twin of
+    the batch ``agg.trending_terms`` bucket counts).
+
+    Emits (window_start, window_end, term, count).  The top-k /
+    prev-rank comparison runs on the EMITTED table, not in-stream: a
+    rank over a streaming aggregate is not expressible in append mode,
+    and the sink is tiny (windows x terms) while the stream side is
+    the data-sized count — the state store holds one count per open
+    (window, term), bounded by watermark eviction."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"),
+            F.col(term_col).alias("term"),
+        )
+        .agg(F.count("*").alias("count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "count",
+        )
+    )
+
+
 def session_counts(
     stream: DataFrame,
     gap: str = "30 minutes",

@@ -29,6 +29,19 @@ def test_every_unverified_query_inside_driver_window():
     assert len(unverified) <= E.DRIVER_WINDOW
 
 
+def test_retouched_entries_inside_driver_window():
+    # entries whose semantics changed this round must get a FRESH
+    # driver row even though their last row passed — they sort after
+    # the unverified front and must still fit the window
+    q = list(E.queries())
+    window = set(q[: E.DRIVER_WINDOW])
+    missing = sorted((E.RETOUCHED & set(q)) - window)
+    assert not missing, f"retouched outside the window: {missing}"
+    # every retouched name should be a real registered query (a typo
+    # here would silently prioritize nothing)
+    assert E.RETOUCHED <= set(q)
+
+
 def test_registry_growth_within_rotation_bound():
     # the rotation's induction step needs every unverified entry to
     # fit the window TOGETHER: new registrations this round may take

@@ -284,3 +284,39 @@ def test_dataset_card_single_scan(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan_of(dataset_card(docs))
     assert p.count("Scan parquet") == 1
+
+
+def test_corpus_mix_single_source_shuffle(spark):
+    """The mixer is ONE shuffle keyed on source (the cumsum window);
+    the target CASE chain is literal so nothing else exchanges."""
+    from log_aggregation_pipeline_spark.operators.sampling import corpus_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(corpus_mix(docs, {"src0": 2.0, "src1": 1.0}, 1000))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_quality_percentile_single_shuffle(spark):
+    """Both windows (rank + per-source count) share the source
+    partitioning: one Exchange, not two."""
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        quality_percentile,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(quality_percentile(docs))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_vocab_stats_top_k_without_full_sort(spark):
+    """Term counts partial-aggregate map-side and the top page plans
+    as TakeOrderedAndProject — no global sort of the vocabulary."""
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        vocab_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(vocab_stats(docs, top=50))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no standalone global Sort operator

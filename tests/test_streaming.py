@@ -378,3 +378,38 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     run_incremental_dedup_stream(spark, in_dir, seen_dir, out_dir)
     got2 = spark.read.parquet(out_dir)
     assert sorted(r.doc_id for r in got2.collect()) == [11, 21]
+
+
+def test_sliding_term_counts_match_batch(spark, transcripts, tmp_path):
+    """Sliding-window streaming counts equal the batch computation of
+    the same overlapping windows (each event in window/slide buckets),
+    and every event appears in exactly window/slide windows."""
+    from log_aggregation_pipeline_spark.streaming.stream import (
+        sliding_term_counts,
+    )
+
+    in_dir = str(tmp_path / "in")
+    transcripts.write.parquet(in_dir)
+    stream = read_transcript_stream(spark, in_dir, max_files_per_trigger=100)
+    q = (
+        sliding_term_counts(stream, window="1 hour", slide="15 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.window_start), r.term): r["count"]
+        for r in spark.sql("select * from sliding_counts").collect()
+    }
+    exp = {
+        (str(r.w.start), r.role): r.n
+        for r in transcripts.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "role"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp
+    # overlap factor: total windowed count = 4x the row count
+    assert sum(got.values()) == transcripts.count() * 4

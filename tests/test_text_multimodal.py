@@ -143,6 +143,30 @@ def test_corpus_stats_known_distribution(spark):
     assert got["s2"].p50_tokens == 3.0 and got["s2"].n_docs == 1
 
 
+def test_corpus_stats_approx_bounds_exact(spark):
+    """The high-cardinality scale path: approx_percentile returns an
+    OBSERVED value whose rank error is sketch-bounded — on the sf
+    corpus it must land within the group's [min, max] and within a
+    few observed values of the exact interpolated percentile."""
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        corpus_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r.source: r for r in corpus_stats(docs).collect()}
+    approx = {r.source: r for r in corpus_stats(docs, exact=False).collect()}
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        assert (a.n_docs, a.total_tokens) == (e.n_docs, e.total_tokens)
+        assert e.min_tokens <= a.p50_tokens <= e.max_tokens
+        # interpolation vs observed-value: differ by < the local value
+        # spacing, generously bounded by 10% of the group's range
+        span = max(e.max_tokens - e.min_tokens, 1)
+        assert abs(a.p50_tokens - e.p50_tokens) <= 0.1 * span
+        assert abs(a.p95_tokens - e.p95_tokens) <= 0.1 * span
+
+
 def test_lm_repetition_long_doc_not_quadratic(spark):
     """A 60k-token doc with ~6k distinct tokens: the sorted-run form is
     O(n log n); the old per-distinct-token scan was O(distinct*total)
@@ -209,6 +233,47 @@ def test_gopher_rules_gates(spark):
     assert got[1].mean_word_len == round(
         sum(len(w) for w in words) / len(words), 6
     )
+
+
+def test_quality_percentile_rank_properties(spark):
+    """Per-source positions: unique 1..n ranks, q_pct 0 at the top and
+    1 at the bottom (n>1), integer-ratio values, deterministic id
+    tie-break on the coarse score lattice, and the top-X% filter
+    keeping exactly the best-ranked docs."""
+    long_good = (
+        "the results of the run are stored with the inputs and the "
+        "seeds so that every report stays comparable over time " * 3
+    )
+    rows = [
+        (1, long_good, "s1"),
+        (2, "x", "s1"),                  # short, low score
+        (3, "y", "s1"),                  # identical low score -> id tie
+        (4, "solo doc", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in TA.quality_percentile(df).collect()}
+    s1 = sorted((got[i] for i in (1, 2, 3)), key=lambda r: r.q_rank)
+    assert [r.q_rank for r in s1] == [1, 2, 3]
+    assert s1[0].doc_id == 1 and s1[0].q_pct == 0.0
+    assert s1[-1].q_pct == 1.0
+    assert s1[1].q_pct == 0.5
+    # equal scores order by id (2 before 3), not arbitrarily
+    assert got[2].quality_score == got[3].quality_score
+    assert got[2].q_rank < got[3].q_rank
+    assert got[4].q_rank == 1 and got[4].q_pct == 0.0  # 1-doc source
+    top_half = TA.quality_percentile(df).filter("q_pct <= 0.5").collect()
+    assert sorted(r.doc_id for r in top_half) == [1, 2, 4]
+
+
+def test_vocab_stats_term_frequencies(spark):
+    """Occurrences vs document frequency on a hand corpus; empty docs
+    excluded; deterministic tie order on the token."""
+    rows = [(1, "a a b"), (2, "A c"), (3, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = TA.vocab_stats(df, top=10).collect()
+    assert [(r.token, r.n_occurrences, r.n_docs) for r in got] == [
+        ("a", 3, 2), ("b", 1, 1), ("c", 1, 1),
+    ]
 
 
 def test_ngram_novelty_known_frequencies(spark):
