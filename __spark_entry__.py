@@ -387,6 +387,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kv_fields_exploded"] = lambda s, d: parse_kv(
         transcripts_from_events(s, d)
     ).select("conv_id", "turn_idx", F.explode("fields").alias("key", "value"))
+    # SFT pair extraction: adjacent (user -> assistant) turns
+    from log_aggregation_pipeline_spark.operators.order import training_pairs
+
+    q["conv_training_pairs"] = lambda s, d: training_pairs(
+        transcripts_from_events(s, d)
+    )
     q["sessionize_30m"] = lambda s, d: sessionize(
         transcripts_from_events(s, d), gap_minutes=30
     ).select("conv_id", "turn_idx", "session_id")
@@ -493,6 +499,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decontam.contaminated_docs(train, ev, k=DECONTAM_K)
 
     q["doc_decontaminate"] = _decontaminate
+
+    def _eval_burn_report(s, d):
+        docs = _docs(s, d)
+        ev = decontam.eval_split(docs, N_EVAL)
+        train = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
+        return decontam.eval_contamination_report(train, ev, k=DECONTAM_K)
+
+    # per-eval-item burn report (the complement of doc_decontaminate)
+    q["eval_contamination_report"] = _eval_burn_report
+    # Gopher repetition gates (structure-unit duplicates)
+    q["doc_gopher_repetition"] = lambda s, d: text_analysis.gopher_repetition_rules(
+        _docs(s, d)
+    ).select(
+        "doc_id", "n_lines", "n_paras", "dup_line_frac",
+        "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+        "rep_pass",
+    )
 
     def _redact_stats(s, d):
         # deterministic PII augmentation (oracle.AUG_SQL twin): the
@@ -932,6 +955,11 @@ def oracle_sql() -> dict[str, str]:
         JACCARD_K, JACCARD_T, INCR_SPLIT
     )
     o["doc_decontaminate"] = oracle.decontaminate_sql(DECONTAM_K, N_EVAL)
+    o["eval_contamination_report"] = oracle.eval_contamination_report_sql(
+        DECONTAM_K, N_EVAL
+    )
+    o["doc_gopher_repetition"] = oracle.gopher_repetition_sql()
+    o["conv_training_pairs"] = oracle.training_pairs_sql()
     o["doc_redact_stats"] = oracle.redact_stats_sql(redact.REDACTIONS)
     o["doc_markup_strip"] = oracle.strip_markup_sql(
         text_analysis._MARKUP_BLOCKS,

@@ -277,6 +277,13 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         timed("doc_gopher_quality", lambda: noop(gopher_rules(docs).select(
             "doc_id", "mean_word_len", "alpha_word_frac", "stop_hits",
             "gopher_pass")))
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            gopher_repetition_rules,
+        )
+
+        timed("doc_gopher_repetition", lambda: noop(
+            gopher_repetition_rules(docs).select(
+                "doc_id", "dup_line_frac", "dup_para_frac", "rep_pass")))
         timed("doc_redact", lambda: noop(redact(docs).select(
             "doc_id", "n_email", "n_ipv4", "n_secret", "redacted")))
         from log_aggregation_pipeline_spark.operators.text_analysis import (
@@ -293,6 +300,12 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         train = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
         timed("doc_decontaminate", lambda: noop(
             contaminated_docs(train, ev, k=5)))
+        from log_aggregation_pipeline_spark.operators.decontam import (
+            eval_contamination_report,
+        )
+
+        timed("eval_contamination_report", lambda: noop(
+            eval_contamination_report(train, ev, k=5)))
         # includes its jaccard pair-source sub-plan + CC iterations
         timed("doc_dup_clusters", lambda: noop(dup_clusters(
             ngram_jaccard_pairs(docs, max_shingle_freq=1000))))

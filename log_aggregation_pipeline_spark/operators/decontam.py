@@ -81,6 +81,42 @@ def contaminated_docs(
     )
 
 
+def eval_contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-EVAL-item burn report — the complement of
+    ``contaminated_docs``: not "which train docs to drop" but "which
+    benchmark items are compromised and how badly".  For each eval doc
+    sharing >=1 shingle with the train side: the number of distinct
+    train docs that hit it and the total (train doc, shared shingle)
+    hit count.
+
+    Same scale shape as decontamination: eval shingles broadcast (now
+    keyed (shingle, eval_id) — still eval-sized), the train stream
+    map-side joins with NO shuffle of the big side; the only exchange
+    is the final eval-keyed aggregate, whose cardinality is the eval
+    set's."""
+    ev = _explode_shingles(_shingle_df(eval_df, k, text_col, id_col)).select(
+        F.col("_id").alias("_eval_id"), "_s"
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = _explode_shingles(_shingle_df(train, k, text_col, id_col))
+    return (
+        tr.join(ev, "_s")
+        .groupBy(F.col("_eval_id").alias("eval_doc_id"))
+        .agg(
+            F.count_distinct("_id").alias("n_train_docs"),
+            F.count("*").alias("n_hits"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

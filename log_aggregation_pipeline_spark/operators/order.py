@@ -31,6 +31,41 @@ def with_turn_order(df: DataFrame, prev_text: bool = False) -> DataFrame:
     return out
 
 
+def training_pairs(
+    df: DataFrame,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """SFT pair extraction — the step that turns a transcript table
+    into (prompt, response) training rows: every ``response_role``
+    turn whose IMMEDIATELY preceding turn (by turn_idx, the stable
+    order) is a ``prompt_role`` turn yields one pair.  Interrupted
+    exchanges (tool call between user and assistant, consecutive
+    assistant turns) produce no pair — adjacency is the contract, not
+    "most recent user turn" (an asof-style variant can relax it).
+
+    One shuffle on conv_id (the turn window); pure lag projections
+    after it — at corpus scale this is the same plan class as
+    with_turn_order."""
+    w = turn_window()
+    return (
+        df.withColumn("_prev_role", F.lag("role").over(w))
+        .withColumn("_prev_text", F.lag("text").over(w))
+        .withColumn("_prev_idx", F.lag("turn_idx").over(w))
+        .filter(
+            (F.col("role") == response_role)
+            & (F.col("_prev_role") == prompt_role)
+        )
+        .select(
+            "conv_id",
+            F.col("_prev_idx").alias("prompt_turn_idx"),
+            F.col("turn_idx").alias("response_turn_idx"),
+            F.col("_prev_text").alias("prompt"),
+            F.col("text").alias("response"),
+        )
+    )
+
+
 def ordered_turn_triples(df: DataFrame) -> DataFrame:
     """(conv_id, turn_idx, text) in stable order — the equality
     fixture surface (FIXTURES.md §3)."""

@@ -282,6 +282,116 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_repetition_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher/MassiveText REPETITION gates (Rae et al. 2021, table
+    A1) — the complement of ``gopher_rules``' quality gates and
+    ``lm_repetition_features``' token statistics, over document
+    STRUCTURE units:
+
+    - duplicate line fraction       <= 0.30
+    - duplicate paragraph fraction  <= 0.30
+    - duplicate line CHAR fraction  <= 0.20
+    - duplicate paragraph CHAR frac <= 0.20
+
+    "Duplicate" counts instances beyond the first occurrence of each
+    distinct unit ((n - n_distinct)/n); the char fractions weight
+    those instances by their length (boilerplate lines repeated 50x
+    dominate by characters long before they dominate by count).
+    Paragraphs split on blank-line runs (``\\n{2,}``); EMPTY units are
+    dropped before counting — blank lines are separators, not content,
+    and counting them would flag every multi-paragraph doc as
+    line-duplicated.
+
+    Pure projection via the lm_repetition sorted-run technique
+    (array_sort -> run boundaries -> per-run counts), extended with
+    char weights: each run contributes (run_len - 1) * len(value)
+    duplicate chars.  O(u log u) per doc in its unit count, no
+    shuffle, rides any scan; every ratio is one integer-numerator
+    division rounded to 6dp, pass flag from ROUNDED values (the
+    DuckDB twin groups exploded units instead — different shape, same
+    integers)."""
+    c = F.col(text_col)
+    out = df.withColumn(
+        "_lines", F.filter(F.split(c, "\n"), lambda l: l != "")
+    ).withColumn(
+        "_paras", F.filter(F.split(c, r"\n{2,}"), lambda l: l != "")
+    )
+
+    def run_boundaries(sl: str) -> Column:
+        # single-arg lambda REQUIRED: PySpark dispatches on lambda
+        # arity, and a second (even defaulted) parameter turns it into
+        # the (element, index) form.  Empty-array guard: sequence(1, 0)
+        # DESCENDS ([1, 0]) and element_at(_, 0) is a runtime error.
+        return F.when(
+            F.size(sl) == 0, F.array().cast("array<int>")
+        ).otherwise(
+            F.filter(
+                F.sequence(F.lit(1), F.size(sl)),
+                lambda i: (i == 1)
+                | (
+                    F.element_at(sl, i.cast("int"))
+                    != F.element_at(sl, (i - 1).cast("int"))
+                ),
+            )
+        )
+
+    for p in ("l", "p"):
+        src = "_lines" if p == "l" else "_paras"
+        out = out.withColumn(f"_sl{p}", F.array_sort(src))
+        out = out.withColumn(f"_rb{p}", run_boundaries(f"_sl{p}"))
+
+    def metrics(p: str) -> tuple[Column, Column, Column]:
+        sl, rb = f"_sl{p}", f"_rb{p}"
+        n = F.size(sl)
+        n_runs = F.size(rb)
+        run_lens = F.zip_with(
+            F.concat(F.slice(F.col(rb), 2, F.size(rb) - 1), F.array(n + 1)),
+            F.col(rb),
+            lambda nxt, start: nxt - start,
+        )
+        dup_chars = F.aggregate(
+            F.zip_with(
+                run_lens,
+                F.col(rb),
+                lambda cnt, start: (cnt - 1)
+                * F.length(F.element_at(F.col(sl), start.cast("int"))),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        tot_chars = F.aggregate(
+            F.col(sl), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        zero = F.size(sl) == 0  # all-blank doc: defined as 0.0, not null
+        dup_frac = F.when(zero, F.lit(0.0)).otherwise(
+            F.round((n - n_runs) / n, 6)
+        )
+        char_frac = F.when(zero, F.lit(0.0)).otherwise(
+            F.round(dup_chars / F.greatest(tot_chars, F.lit(1)), 6)
+        )
+        return n, dup_frac, char_frac
+
+    n_l, dl, dlc = metrics("l")
+    n_p, dp, dpc = metrics("p")
+    out = (
+        out.withColumn("n_lines", n_l)
+        .withColumn("n_paras", n_p)
+        .withColumn("dup_line_frac", dl)
+        .withColumn("dup_line_char_frac", dlc)
+        .withColumn("dup_para_frac", dp)
+        .withColumn("dup_para_char_frac", dpc)
+    )
+    gate = (
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_para_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("dup_para_char_frac") <= 0.20)
+    )
+    return out.withColumn("rep_pass", gate).drop(
+        "_lines", "_paras", "_sll", "_rbl", "_slp", "_rbp"
+    )
+
+
 # ---------------------------------------------------------------------------
 # language ID (n-gram/stopword heuristic)
 # ---------------------------------------------------------------------------

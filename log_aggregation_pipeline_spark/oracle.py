@@ -719,6 +719,115 @@ FROM r
 """
 
 
+def training_pairs_sql(
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    events_relation: str = "events",
+) -> str:
+    """Twin of order.training_pairs: adjacency via lag over the stable
+    turn order."""
+    return f"""{transcripts_cte(events_relation)}
+SELECT conv_id, prompt_turn_idx, response_turn_idx, prompt, response
+FROM (
+  SELECT conv_id, turn_idx AS response_turn_idx, role,
+         text AS response,
+         lag(role) OVER w AS prev_role,
+         lag(text) OVER w AS prompt,
+         lag(turn_idx) OVER w AS prompt_turn_idx
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+WHERE role = '{response_role}' AND prev_role = '{prompt_role}'
+"""
+
+
+def eval_contamination_report_sql(k: int, n_eval: int) -> str:
+    """Per-eval-item twin of decontaminate_sql's flagging join: group
+    the shared-shingle hits by the EVAL doc instead of the train doc."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ {gram} for i in range(1, len(t) - {k - 2}) ]) AS shingles
+  FROM toks WHERE len(t) >= {k}
+),
+eval_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id LIMIT {n_eval}
+),
+ev AS (
+  SELECT doc_id AS eval_id, unnest(shingles) AS s
+  FROM sh JOIN eval_ids USING (doc_id)
+),
+tr AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+  WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)
+)
+SELECT eval_id AS eval_doc_id,
+       count(DISTINCT tr.doc_id) AS n_train_docs,
+       count(*) AS n_hits
+FROM tr JOIN ev USING (s)
+GROUP BY eval_id
+"""
+
+
+def gopher_repetition_sql() -> str:
+    """Twin of text_analysis.gopher_repetition_rules via exploded
+    group-counts (the Spark side is a sorted-run projection — a
+    different shape computing the same integers: per distinct unit u
+    with count c, duplicates contribute c-1 instances and
+    (c-1)*len(u) characters)."""
+    unit = """
+{x} AS (SELECT doc_id, unnest({col}) AS u FROM base),
+{g} AS (SELECT doc_id, u, count(*) AS c FROM {x} GROUP BY 1, 2),
+{a} AS (SELECT doc_id,
+          cast(sum(c) AS BIGINT) AS n,
+          cast(count(*) AS BIGINT) AS nd,
+          cast(sum((c - 1) * len(u)) AS BIGINT) AS dupch,
+          cast(sum(c * len(u)) AS BIGINT) AS totch
+        FROM {g} GROUP BY 1)"""
+    # empty units filtered like the Spark side (blank lines are
+    # separators, not content); LEFT JOIN from documents + coalesce so
+    # an all-blank doc keeps its row (Spark is a projection — it never
+    # drops rows)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x != '') AS lines,
+         list_filter(string_split_regex(text, '\\n{{2,}}'), x -> x != '')
+           AS paras
+  FROM documents
+),{unit.format(x="lx", col="lines", g="lg", a="la")},{unit.format(x="px", col="paras", g="pg", a="pa")},
+r AS (
+  SELECT d.doc_id,
+    cast(coalesce(la.n, 0) AS BIGINT) AS n_lines,
+    cast(coalesce(pa.n, 0) AS BIGINT) AS n_paras,
+    CASE WHEN coalesce(la.n, 0) = 0 THEN 0.0
+         ELSE round((la.n - la.nd) * 1.0 / la.n, 6) END AS dup_line_frac,
+    CASE WHEN coalesce(la.n, 0) = 0 THEN 0.0
+         ELSE round(la.dupch * 1.0 / greatest(la.totch, 1), 6)
+         END AS dup_line_char_frac,
+    CASE WHEN coalesce(pa.n, 0) = 0 THEN 0.0
+         ELSE round((pa.n - pa.nd) * 1.0 / pa.n, 6) END AS dup_para_frac,
+    CASE WHEN coalesce(pa.n, 0) = 0 THEN 0.0
+         ELSE round(pa.dupch * 1.0 / greatest(pa.totch, 1), 6)
+         END AS dup_para_char_frac
+  FROM documents d
+  LEFT JOIN la USING (doc_id)
+  LEFT JOIN pa USING (doc_id)
+)
+SELECT doc_id, n_lines, n_paras, dup_line_frac, dup_line_char_frac,
+       dup_para_frac, dup_para_char_frac,
+       (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20)
+         AS rep_pass
+FROM r
+"""
+
+
 def decontaminate_sql(k: int, n_eval: int, min_overlap: int = 1) -> str:
     """Eval-overlap contamination flags.  The eval set is the first
     ``n_eval`` docs by md5(doc_id) (the repo's standard deterministic

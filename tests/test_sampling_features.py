@@ -224,3 +224,33 @@ def test_corpus_mix_fills_per_source_targets(spark):
     # deterministic: an independent run selects the identical set
     again = {(r.doc_id, r.cum_tokens) for r in SA.corpus_mix(df, weights, 90).collect()}
     assert again == {(r.doc_id, r.cum_tokens) for r in got}
+
+
+def test_training_pairs_adjacency(spark):
+    """Only immediately-adjacent (user -> assistant) turns pair; a
+    tool turn in between or consecutive same-role turns produce no
+    pair."""
+    import datetime as dt
+
+    from log_aggregation_pipeline_spark.operators.order import training_pairs
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "q1", ts),
+        ("c1", 1, "assistant", "a1", ts),
+        ("c1", 2, "user", "q2", ts),
+        ("c1", 3, "tool", "t", ts),
+        ("c1", 4, "assistant", "a2", ts),   # prev is tool -> no pair
+        ("c1", 5, "user", "q3", ts),
+        ("c1", 6, "user", "q4", ts),        # consecutive users
+        ("c1", 7, "assistant", "a3", ts),   # pairs with q4 only
+        ("c2", 0, "assistant", "orphan", ts),  # no preceding turn
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    got = sorted(
+        ((r.conv_id, r.prompt_turn_idx, r.response_turn_idx, r.prompt, r.response)
+         for r in training_pairs(df).collect())
+    )
+    assert got == [("c1", 0, 1, "q1", "a1"), ("c1", 6, 7, "q4", "a3")]

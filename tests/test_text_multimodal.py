@@ -341,3 +341,51 @@ def test_strip_markup_preserves_gopher_line_metrics(spark):
     r = TA.gopher_rules(TA.strip_markup(df), text_col="clean_text").collect()[0]
     assert r.bullet_frac == round(40 / 41, 6)
     assert r.bullet_frac > 0.9
+
+
+def test_gopher_repetition_rules(spark):
+    """Hand-computed duplicate-unit fractions: repeated lines trip the
+    line gates (count and char-weighted), blank-line-split paragraphs
+    count independently, clean prose passes."""
+    spam = "buy now\nunique line\nbuy now\nbuy now\nz"
+    # lines: 5, distinct 3 -> dup_line_frac 0.4; dup chars = 2*7 = 14
+    # of 7+11+7+7+1 = 33 -> 0.424242; one paragraph -> para dups 0
+    clean = "first line of prose\n\nsecond paragraph entirely\n\nthird one here"
+    para_spam = "same para\n\nsame para\n\nsame para"
+    rows = [(1, spam), (2, clean), (3, para_spam)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TA.gopher_repetition_rules(df).collect()}
+    r1 = got[1]
+    assert r1.n_lines == 5 and r1.n_paras == 1
+    assert r1.dup_line_frac == 0.4
+    assert r1.dup_line_char_frac == round(14 / 33, 6)
+    assert r1.dup_para_frac == 0.0 and not r1.rep_pass
+    r2 = got[2]
+    assert r2.n_paras == 3 and r2.dup_line_frac == 0.0 and r2.rep_pass
+    r3 = got[3]
+    assert r3.n_paras == 3 and r3.dup_para_frac == round(2 / 3, 6)
+    assert r3.dup_para_char_frac == round(18 / 27, 6) and not r3.rep_pass
+
+
+def test_eval_contamination_report_counts(spark):
+    """Per-eval-item burn: shared-shingle hits grouped by the eval doc
+    — 2 train docs hit the eval item with 3 total shared shingles."""
+    from log_aggregation_pipeline_spark.operators.decontam import (
+        eval_contamination_report,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x a b c d y"),   # shares 'a b c', 'b c d'
+            (2, "q c d e"),       # shares 'c d e'
+            (3, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = eval_contamination_report(train, ev, k=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.eval_doc_id, r.n_train_docs, r.n_hits) == (100, 2, 3)
