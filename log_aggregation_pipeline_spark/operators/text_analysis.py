@@ -649,6 +649,7 @@ def ngram_novelty(
     common_min_df: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """Count-based n-gram novelty score — the "perplexity-ish" corpus
     scorer expressed entirely in INTEGER corpus frequencies (the
@@ -683,17 +684,22 @@ def ngram_novelty(
     (AQE splits skewed join partitions at runtime) and not a
     count-over-window — a window partition cannot be split, and a
     billion-row stop-gram partition would straggle or OOM.  The
-    shingle projection feeds both join sides, so Catalyst computes it
-    twice (the df side's exchange carries map-side partial counts —
-    different payload, no exchange reuse); at 100 TB write the
-    exploded shingles to parquet once and feed the written table to
-    both sides (the corpus_prep materialize_dir idiom)."""
+    shingle projection feeds both join sides, so with the default
+    ``materialize_dir=None`` Catalyst computes it twice (the df side's
+    exchange carries map-side partial counts — different payload, no
+    exchange reuse).  Passing ``materialize_dir`` writes the exploded
+    (id, gram) table once and feeds the written parquet to both sides
+    — the 100 TB form (one corpus-wide shingle pass instead of two;
+    same write-then-reread idiom as corpus_prep_funnel_neardup)."""
     from log_aggregation_pipeline_spark.operators.dedupe import (
         _explode_shingles,
         _shingle_df,
     )
 
     ex = _explode_shingles(_shingle_df(df, k, text_col, id_col))
+    if materialize_dir is not None:
+        ex.write.mode("overwrite").parquet(materialize_dir)
+        ex = df.sparkSession.read.parquet(materialize_dir)
     dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
     agg = (
         ex.join(dfreq, "_s")

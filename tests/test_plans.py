@@ -320,3 +320,32 @@ def test_vocab_stats_top_k_without_full_sort(spark):
     p = plan_of(vocab_stats(docs, top=50))
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p  # no standalone global Sort operator
+
+
+def test_ngram_novelty_materialized_single_shingle_pass(spark):
+    """materialize_dir feeds BOTH join sides from the written (id,
+    gram) parquet: the final plan carries no shingle HOF at all (the
+    transform(...) expression tree), and the output equals the
+    recomputed form exactly."""
+    import shutil
+    import tempfile
+
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        ngram_novelty,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="lap_nov_")
+    try:
+        mat = f"{root}/grams"
+        out = ngram_novelty(docs, materialize_dir=mat)
+        p = plan_of(out)
+        recomputed = plan_of(ngram_novelty(docs))
+        assert recomputed.count("transform(") >= 2  # shingled twice
+        assert "transform(" not in p
+        assert "/grams" in p
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(map(tuple, ngram_novelty(docs).collect()))
+        assert a == b
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
