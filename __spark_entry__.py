@@ -381,6 +381,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["revenue_by_nation"] = _q_revenue_by_nation
     q["asof_prior_error"] = _q_asof_prior_error
 
+    def _q_range_join(s, d):
+        # time-window correlation: errors within +/-10 min of each
+        # purchase per user (bucketized equi-join, never a BNLJ)
+        from log_aggregation_pipeline_spark.operators.asof import (
+            range_join_within,
+        )
+
+        ev = s.read.parquet(f"{d}/events.parquet")
+        purchases = ev.filter("event_type = 'purchase'").select(
+            "user_id", "event_id", "ts"
+        )
+        errors = ev.filter("event_type = 'error'").select(
+            "user_id", "event_id", "ts"
+        )
+        return range_join_within(
+            purchases, errors, on="ts", by="user_id", window_seconds=600
+        )
+
+    q["events_range_join_10m"] = _q_range_join
+
     q["search_syntax_filter"] = lambda s, d: _parsed(s, d).filter(
         compile_query(SYNTAX_QUERY)
     ).select(*_ROUTED_COLS)
@@ -689,6 +709,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda s, d: _docs(s, d).select(
         "doc_id", text_analysis.fingerprint("text").alias("fp")
     )
+
+    def _unicode_nfc(s, d):
+        # the ASCII synthetic corpus normalizes to itself, so both
+        # sides append the same decomposed sequence (e + combining
+        # acute) — NFC must compose it, flipping nfc_changed true
+        aug = _docs(s, d).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" caf"), F.lit("e\u0301")).alias("t"),
+        )
+        out = text_analysis.normalize_unicode(aug, "t", out_col="t_nfc")
+        return out.select(
+            "doc_id", F.md5("t_nfc").alias("nfc_md5"), "nfc_changed"
+        )
+
+    q["doc_unicode_nfc"] = _unicode_nfc
     # blocked equi-join variant — same exact output, no nested-loop
     # join in the plan (tests/test_plans.py pins that)
     q["emb_near_dup_pairs"] = lambda s, d: dedupe.embedding_near_dup_pairs_blocked(
@@ -849,6 +884,15 @@ def oracle_sql() -> dict[str, str]:
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
           ON p.user_id = e.user_id AND p.ts >= e.ts"""
 
+    o["events_range_join_10m"] = """
+        SELECT l.user_id, l.event_id, l.ts,
+               r.event_id AS event_id_r, r.ts AS ts_r
+        FROM (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'purchase') l
+        JOIN (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'error') r
+          ON l.user_id = r.user_id
+         AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 600 * 1000000"""
     o["search_syntax_filter"] = P + """
         SELECT id, conv_id, turn_idx, role, tool, level, error_code, text, ts
         FROM parsed
@@ -1010,6 +1054,14 @@ def oracle_sql() -> dict[str, str]:
     o["doc_lang_id"] = oracle.lang_id_sql(text_analysis.LANG_MARKERS)
     o["doc_lm_score"] = oracle.lm_repetition_sql()
     o["doc_fingerprint"] = oracle.fingerprint_sql()
+    # chr(769) = U+0301 combining acute; nfc_normalize composes it
+    o["doc_unicode_nfc"] = """
+        SELECT doc_id,
+               md5(nfc_normalize(text || ' caf' || 'e' || chr(769)))
+                 AS nfc_md5,
+               (nfc_normalize(text || ' caf' || 'e' || chr(769))
+                != text || ' caf' || 'e' || chr(769)) AS nfc_changed
+        FROM documents"""
     o["emb_near_dup_pairs"] = oracle.embedding_near_dup_sql(EMB_NEAR_T)
     o["emb_dup_clusters"] = (
         "SELECT doc_id AS vec_id, cluster_rep, cluster_size FROM ("

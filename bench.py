@@ -292,6 +292,21 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
 
         timed("doc_markup_strip", lambda: noop(strip_markup(docs).select(
             "doc_id", "n_tags", "clean_text")))
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            normalize_unicode,
+        )
+
+        timed("doc_unicode_nfc", lambda: noop(normalize_unicode(docs).select(
+            "doc_id", "text_nfc", "nfc_changed")))
+        from log_aggregation_pipeline_spark.operators.asof import (
+            range_join_within,
+        )
+
+        ev_all = spark.read.parquet(f"{sf_dir}/events.parquet")
+        timed("events_range_join_10m", lambda: noop(range_join_within(
+            ev_all.filter("event_type = 'purchase'").select("user_id", "event_id", "ts"),
+            ev_all.filter("event_type = 'error'").select("user_id", "event_id", "ts"),
+        )))
         from log_aggregation_pipeline_spark.operators.decontam import (
             eval_split,
         )

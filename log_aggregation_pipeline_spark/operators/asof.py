@@ -98,3 +98,71 @@ def asof_join(
         .cogroup(right.groupBy(*by_cols))
         .applyInPandas(lambda l, r: merge(l, r), schema)
     )
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    window_seconds: int = 600,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Time-window correlation join — every (left, right) pair in the
+    same ``by`` group whose ``on`` values lie within
+    ``window_seconds`` of each other (|l.ts - r.ts| <= w, inclusive).
+    The log-analytics classic: "errors within 10 minutes of this
+    purchase" — the ALL-matches complement of ``asof_join``'s
+    single-nearest-match.
+
+    Implementation is a BUCKETIZED equi-join, not an inequality join:
+    naive ``ON |l.ts - r.ts| <= w`` has no equi-key and Spark plans it
+    as a broadcast-nested-loop/cartesian — the all-pairs scale-killer.
+    Instead each right row lands in time bucket floor(us / w_us) and
+    each left row EXPLODES to its three candidate buckets
+    {b-1, b, b+1}; the join is then a plain shuffle equi-join on
+    (by, bucket) followed by the exact |dt| filter.  Any qualifying
+    right row's bucket differs from the left's by at most 1, and a
+    right row has exactly ONE bucket, so every qualifying pair is
+    produced exactly once — no dedup pass.  Replication factor is 3
+    on the LEFT side only (pass the smaller side as ``left``).
+
+    Timestamps compare in integer MICROSECONDS on both engines (the
+    conv_features idiom), so the window edge is exact — no float
+    epoch drift.  One shuffle per side, keys (by, bucket): time
+    buckets spread hot ``by`` groups across the window axis, and AQE
+    splits any residual skew.
+    """
+    from pyspark.sql import functions as F
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by_cols]
+    if on not in right_cols:
+        right_cols = right_cols + [on]
+    w_us = int(window_seconds) * 1_000_000
+
+    l_us = F.unix_micros(F.col(on).cast("timestamp"))
+    lb = left.withColumn("_us", l_us).withColumn(
+        "_bkt",
+        F.explode(
+            F.array(*[F.floor(F.col("_us") / w_us) + d for d in (-1, 0, 1)])
+        ),
+    )
+    rb = (
+        right.select(
+            *by_cols,
+            *[
+                F.col(c).alias(f"{c}{suffix}" if c != on else f"{on}{suffix}")
+                for c in right_cols
+            ],
+        )
+        .withColumn("_us_r", F.unix_micros(F.col(f"{on}{suffix}").cast("timestamp")))
+        .withColumn("_bkt", F.floor(F.col("_us_r") / w_us))
+    )
+    return (
+        lb.join(rb, by_cols + ["_bkt"])
+        .filter(F.abs(F.col("_us") - F.col("_us_r")) <= w_us)
+        .drop("_us", "_us_r", "_bkt")
+    )

@@ -492,6 +492,40 @@ def strip_markup(
 
 
 # ---------------------------------------------------------------------------
+# unicode normalization
+# ---------------------------------------------------------------------------
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_nfc",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC by default) — the step a multilingual
+    corpus runs before ANY hashing/dedup/tokenizing: 'é' composed
+    (U+00E9) and 'e'+combining-acute (U+0301) are different strings to
+    every md5/shingle/minhash operator until normalized, so the same
+    sentence from two crawls silently fails exact dedup.
+
+    pyspark.sql.functions exposes no ICU normalizer, so this is the
+    UDF tier done right: a VECTORIZED pandas UDF (Arrow batches,
+    ``Series.str.normalize`` — stdlib unicodedata underneath), not a
+    row-at-a-time Python UDF.  Pure projection — rides any scan, no
+    shuffle.  DuckDB twin: ``nfc_normalize`` (NFC only — other forms
+    are pytest-covered, no SQL twin)."""
+    import pandas as pd  # noqa: F401 — pandas_udf signature
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.str.normalize(form)
+
+    c = F.col(text_col)
+    return df.withColumn(out_col, _norm(c)).withColumn(
+        "nfc_changed", F.col(out_col) != c
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
 def fingerprint(col: Column | str) -> Column:

@@ -349,3 +349,19 @@ def test_ngram_novelty_materialized_single_shingle_pass(spark):
         assert a == b
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_range_join_is_equi_join(spark):
+    """The window correlation must plan as a shuffle equi-join on
+    (by, bucket) — an inequality-only join would be a nested-loop
+    broadcast of a whole side."""
+    from log_aggregation_pipeline_spark.operators.asof import (
+        range_join_within,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    l = ev.filter("event_type = 'purchase'").select("user_id", "event_id", "ts")
+    r = ev.filter("event_type = 'error'").select("user_id", "event_id", "ts")
+    p = plan_of(range_join_within(l, r))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

@@ -254,3 +254,53 @@ def test_training_pairs_adjacency(spark):
          for r in training_pairs(df).collect())
     )
     assert got == [("c1", 0, 1, "q1", "a1"), ("c1", 6, 7, "q4", "a3")]
+
+
+def test_range_join_within_window_edges(spark):
+    """Bucketized range join == the naive |dt| <= w definition,
+    including pairs that straddle a bucket boundary and the exact
+    inclusive window edge; no duplicate pairs."""
+    import datetime as dt
+
+    from log_aggregation_pipeline_spark.operators.asof import (
+        range_join_within,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [("u1", 1, at(0)), ("u1", 2, at(1000)), ("u2", 3, at(0))],
+        "user_id string, event_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 10, at(-600)),   # exactly -w from left 1 -> included
+            ("u1", 11, at(599)),    # bucket straddle vs left 1; also near 2
+            ("u1", 12, at(601)),    # outside w of left 1, within of left 2
+            ("u2", 13, at(3000)),   # outside for u2's left
+            ("u3", 14, at(0)),      # no matching by-group
+        ],
+        "user_id string, event_id int, ts timestamp",
+    )
+    got = sorted(
+        (r.user_id, r.event_id, r.event_id_r)
+        for r in range_join_within(
+            left, right, window_seconds=600
+        ).collect()
+    )
+    # naive expectation
+    lrows = [(u, i, t) for u, i, t in left.collect()]
+    rrows = [(u, i, t) for u, i, t in right.collect()]
+    exp = sorted(
+        (lu, li, ri)
+        for lu, li, lt in lrows
+        for ru, ri, rt in rrows
+        if lu == ru and abs((lt - rt).total_seconds()) <= 600
+    )
+    assert got == exp
+    assert ("u1", 1, 10) in got and ("u1", 1, 11) in got
+    assert ("u1", 2, 12) in got and ("u1", 1, 12) not in got
+    assert len(got) == len(set(got))  # exactly-once per pair

@@ -389,3 +389,26 @@ def test_eval_contamination_report_counts(spark):
     assert len(got) == 1
     r = got[0]
     assert (r.eval_doc_id, r.n_train_docs, r.n_hits) == (100, 2, 3)
+
+
+def test_normalize_unicode_makes_dedup_see_equal_text(spark):
+    """Composed and decomposed spellings hash differently RAW but
+    identically after NFC — the property that makes cross-crawl exact
+    dedup work; NFD round-trips too (pytest-only form, no SQL twin)."""
+    composed = "caf\u00e9 au lait"
+    decomposed = "cafe\u0301 au lait"
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], "doc_id long, text string"
+    )
+    raw = [r.fp for r in df.select(
+        "doc_id", TA.fingerprint("text").alias("fp")).collect()]
+    assert raw[0] != raw[1]
+    out = TA.normalize_unicode(df)
+    fps = {r.doc_id: r for r in out.select(
+        "doc_id", TA.fingerprint("text_nfc").alias("fp"), "nfc_changed"
+    ).collect()}
+    assert fps[1].fp == fps[2].fp
+    assert not fps[1].nfc_changed and fps[2].nfc_changed
+    nfd = {r.doc_id: r.t for r in TA.normalize_unicode(
+        df, out_col="t", form="NFD").collect()}
+    assert nfd[1] == nfd[2] == decomposed
