@@ -376,6 +376,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["processor_chain"] = _q_processor_chain
     q["point_lookup_by_id"] = _q_point_lookup
     q["events_stats_by_type"] = _q_events_stats
+    # numeric histogram (value axis), exact percentile SLO report,
+    # and the CORRECT trailing moving average (the reference's
+    # "moving average" is (old+new)/2, pipeline.go:154-181)
+    from log_aggregation_pipeline_spark.operators.agg import (
+        moving_avg,
+        percentiles_agg,
+        value_histogram,
+    )
+
+    q["events_value_histogram"] = lambda s, d: value_histogram(
+        s.read.parquet(f"{d}/events.parquet"), "value", 5.0
+    )
+    q["events_value_percentiles"] = lambda s, d: percentiles_agg(
+        s.read.parquet(f"{d}/events.parquet"), ["event_type"], "value"
+    )
+    q["conv_moving_avg_len"] = lambda s, d: moving_avg(
+        transcripts_from_events(s, d).withColumn("tl", F.length("text")),
+        ["conv_id"], ["turn_idx"], "tl", n_rows=5,
+    ).select("conv_id", "turn_idx", "mavg", "mavg_n")
     # relational: big-big joins + as-of (custom cogrouped-pandas op)
     q["tpch_pricing_summary"] = _q_tpch_pricing
     q["revenue_by_nation"] = _q_revenue_by_nation
@@ -859,6 +878,27 @@ def oracle_sql() -> dict[str, str]:
                max(value) AS max_v
         FROM events GROUP BY event_type"""
 
+    o["events_value_histogram"] = """
+        SELECT round(floor(value / 5.0) * 5.0, 6) AS bucket,
+               count(*) AS count
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1 ORDER BY bucket"""
+    o["events_value_percentiles"] = """
+        SELECT event_type, count(*) AS n,
+               round(quantile_cont(value, 0.5), 6) AS p50_v,
+               round(quantile_cont(value, 0.9), 6) AS p90_v,
+               round(quantile_cont(value, 0.95), 6) AS p95_v,
+               round(quantile_cont(value, 0.99), 6) AS p99_v
+        FROM events GROUP BY event_type"""
+    # integer value column (text length) -> exact-integer window mean
+    o["conv_moving_avg_len"] = transcripts_cte("events") + """
+        SELECT conv_id, turn_idx,
+               round(sum(len(text)) OVER w * 1.0 / count(*) OVER w, 6)
+                 AS mavg,
+               count(*) OVER w AS mavg_n
+        FROM transcripts
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
     o["tpch_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

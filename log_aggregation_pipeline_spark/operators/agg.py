@@ -77,9 +77,80 @@ def stats_agg(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame
     )
 
 
-# ---------------------------------------------------------------------------
-# A4: per-sink conv-hour aggregate — the north-rule correctness gate.
-# ---------------------------------------------------------------------------
+def value_histogram(
+    df: DataFrame, value_col: str, interval: float
+) -> DataFrame:
+    """Numeric histogram (the ES-style histogram agg — A3's complement
+    for a VALUE axis instead of time): bucket = floor(v / interval) *
+    interval, one count shuffle with map-side partials.  The bucket
+    is computed floor-on-double then scaled, exactly as DuckDB's twin
+    does, so edge values land identically in both engines."""
+    if interval <= 0:
+        raise ValueError(f"interval must be > 0, got {interval}")
+    bucket = F.floor(F.col(value_col) / interval) * F.lit(interval)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.round(bucket, 6).alias("bucket"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("bucket")
+    )
+
+
+def percentiles_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99),
+) -> DataFrame:
+    """Exact interpolated per-group percentiles (the quantile_cont
+    definition shared by Spark ``percentile`` and DuckDB) — the
+    latency-SLO report shape.  Exact percentile gathers each group's
+    values: fine for bounded per-group cardinality (event types,
+    sinks); switch to ``stats_agg``'s approx sketch for unbounded
+    groups."""
+    aggs = [
+        F.round(F.percentile(value_col, F.lit(p)), 6).alias(
+            f"p{int(round(p * 100))}_v"
+        )
+        for p in percentiles
+    ]
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"), *aggs
+    )
+
+
+def moving_avg(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n_rows: int = 5,
+) -> DataFrame:
+    """CORRECT trailing moving average over the last ``n_rows`` rows
+    per partition — what the reference's latency metric pretends to be
+    (pipeline.go:154-181 computes ``(old+new)/2``, an exponential
+    decay that weights the newest sample 50% regardless of history).
+    Window avg over rowsBetween(-(n-1), 0): each row's ``mavg`` is the
+    plain mean of its trailing window, plus ``mavg_n`` (how many rows
+    actually contributed — the first n-1 rows of a partition have
+    shorter windows, disclosed instead of silently diluted).
+
+    One shuffle on the partition key.  Cross-engine exactness: feed an
+    INTEGER value column (counts, lengths, integer micros) — the mean
+    is then a single exact-integer division rounded to 6dp on both
+    engines; a float value column risks 1-ulp drift because moving
+    windows may sum in different orders per engine (DuckDB can use
+    segment trees, Spark accumulates in window order).
+    ``order_cols`` must be a total order within the partition or the
+    trailing window itself is nondeterministic."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    return df.withColumn(
+        "mavg", F.round(F.sum(value_col).over(w) / F.count("*").over(w), 6)
+    ).withColumn("mavg_n", F.count("*").over(w))
 def conv_hour_agg(
     df: DataFrame,
     ts_col: str = "ts",

@@ -304,3 +304,45 @@ def test_range_join_within_window_edges(spark):
     assert ("u1", 1, 10) in got and ("u1", 1, 11) in got
     assert ("u1", 2, 12) in got and ("u1", 1, 12) not in got
     assert len(got) == len(set(got))  # exactly-once per pair
+
+
+def test_value_histogram_buckets(spark):
+    """Floor-bucket histogram: boundary values land in their own
+    bucket, negatives floor downward, nulls drop."""
+    from log_aggregation_pipeline_spark.operators.agg import value_histogram
+
+    vals = [0.0, 4.9, 5.0, 7.5, -0.1, -5.0, None, 12.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {r.bucket: r["count"] for r in value_histogram(df, "value", 5.0).collect()}
+    assert got == {0.0: 2, 5.0: 2, -5.0: 2, 10.0: 1}
+
+
+def test_percentiles_agg_interpolation(spark):
+    """Exact quantile_cont interpolation: values [10,20,30,40] ->
+    p50 = 25.0, p90 = 37.0."""
+    from log_aggregation_pipeline_spark.operators.agg import percentiles_agg
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (10, 20, 30, 40)], "g string, value double"
+    )
+    r = percentiles_agg(df, ["g"], "value", percentiles=(0.5, 0.9)).collect()[0]
+    assert r.n == 4 and r.p50_v == 25.0 and r.p90_v == 37.0
+
+
+def test_moving_avg_trailing_windows(spark):
+    """Correct trailing mean (NOT the reference's (old+new)/2 decay):
+    first rows disclose their short window via mavg_n."""
+    from log_aggregation_pipeline_spark.operators.agg import moving_avg
+
+    rows = [("c", i, v) for i, v in enumerate([10, 20, 60, 10, 0, 30])]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, v int")
+    got = {
+        r.turn_idx: (r.mavg, r.mavg_n)
+        for r in moving_avg(df, ["conv_id"], ["turn_idx"], "v", n_rows=3).collect()
+    }
+    assert got[0] == (10.0, 1)
+    assert got[1] == (15.0, 2)
+    assert got[2] == (30.0, 3)
+    assert got[3] == (30.0, 3)
+    assert got[4] == (round(70 / 3, 6), 3)
+    assert got[5] == (round(40 / 3, 6), 3)
