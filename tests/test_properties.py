@@ -369,3 +369,50 @@ def test_cluster_keepers_match_model(edges, good):
         for rep, ms in comps.items()
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.booleans(),                  # side: left / right
+            st.integers(-2000, 2000),       # seconds offset
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+    window=st.sampled_from([1, 60, 600]),
+)
+def test_range_join_equals_naive_definition(rows, window):
+    """Bucketized range join == the |dt| <= w definition on arbitrary
+    timestamp layouts — bucket boundaries, exact edges, empty sides."""
+    import datetime as dt
+
+    from log_aggregation_pipeline_spark.operators.asof import (
+        range_join_within,
+    )
+
+    spark = _get_spark()
+    t0 = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for i, (u, is_left, s) in enumerate(rows):
+        (lrows if is_left else rrows).append((u, i, t0 + dt.timedelta(seconds=s)))
+    if not lrows or not rrows:
+        return
+    schema = "user_id string, event_id int, ts timestamp"
+    left = spark.createDataFrame(lrows, schema)
+    right = spark.createDataFrame(rrows, schema)
+    got = sorted(
+        (r.user_id, r.event_id, r.event_id_r)
+        for r in range_join_within(
+            left, right, window_seconds=window
+        ).collect()
+    )
+    exp = sorted(
+        (lu, li, ri)
+        for lu, li, lt in lrows
+        for ru, ri, rt in rrows
+        if lu == ru and abs((lt - rt).total_seconds()) <= window
+    )
+    assert got == exp
