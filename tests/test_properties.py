@@ -416,3 +416,62 @@ def test_range_join_equals_naive_definition(rows, window):
         if lu == ru and abs((lt - rt).total_seconds()) <= window
     )
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 200),                    # doc_id (dedup below)
+            st.sampled_from(["A", "B", "C"]),       # source
+            st.integers(1, 40),                     # token count
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.sampled_from([0, 50, 300, 10_000]),
+)
+def test_corpus_mix_budget_properties(docs, budget):
+    """Invariants on arbitrary corpora: per-source selected tokens
+    never exceed the integer target; the draw is greedy-maximal in
+    hash order (the first unselected doc would overflow); unweighted
+    sources never appear."""
+    import hashlib
+
+    from log_aggregation_pipeline_spark.operators.sampling import (
+        corpus_mix,
+        mix_targets,
+    )
+
+    spark = _get_spark()
+    weights = {"A": 2.0, "B": 1.0}  # C unweighted
+    targets = mix_targets(weights, budget)
+    rows = [(i, "w " * n, src) for i, src, n in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = corpus_mix(df, weights, budget)
+    sel = {}
+    for r in got.collect():
+        sel.setdefault(r.source, []).append(r)
+    assert "C" not in sel
+    by_src_all = {}
+    for i, src, n in docs:
+        by_src_all.setdefault(src, []).append((i, n))
+    for src, rows_sel in sel.items():
+        tot = sum(r.n_tokens for r in rows_sel)
+        assert tot <= targets[src]
+        assert max(r.cum_tokens for r in rows_sel) == tot
+    # greedy-maximality: walk each source in hash order; the selected
+    # set must be exactly the maximal prefix under the running total
+    for src in ("A", "B"):
+        order = sorted(
+            by_src_all.get(src, []),
+            key=lambda t: (hashlib.md5(f"{t[0]}:17".encode()).hexdigest(), t[0]),
+        )
+        cum, expect = 0, []
+        for i, n in order:
+            cum += n
+            if cum > targets.get(src, 0):
+                break
+            expect.append(i)
+        assert sorted(r.doc_id for r in sel.get(src, [])) == sorted(expect)
