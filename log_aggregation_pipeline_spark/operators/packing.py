@@ -50,6 +50,18 @@ def adaptive_n_shards(
     return max(min_shards, math.ceil(total_tokens / target_tokens_per_shard))
 
 
+def _token_count(text_col: str, tokenizer: str):
+    if tokenizer == "whitespace":
+        return whitespace_token_count(text_col)
+    if tokenizer == "bpeish":
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            bpeish_token_count,
+        )
+
+        return bpeish_token_count(text_col)
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 512,
@@ -57,6 +69,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     target_tokens_per_shard: int = 50_000_000,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """(id, shard, n_tokens, bin_id, bin_offset, straddles) packing
     assignment.  ``bin_offset`` is the doc's start position within its
@@ -68,11 +81,16 @@ def pack_sequences(
     ``text_col`` (a cheap count-style job next to the window stage);
     pass an explicit ``n_shards`` to skip it when the caller already
     knows the scale (the driver contract pins it so the oracle's shard
-    literal matches)."""
+    literal matches).
+
+    ``tokenizer`` mirrors chunking's modes: bin budgets count either
+    whitespace tokens (default, the oracle-checked form) or BPE-ish
+    pre-tokenizer pieces — pack with the SAME tokenizer the training
+    run bills context by, or bins systematically overflow on
+    punctuation-dense text."""
+    tok = _token_count(text_col, tokenizer)
     if n_shards is None:
-        total = df.select(
-            F.sum(whitespace_token_count(text_col))
-        ).first()[0]
+        total = df.select(F.sum(tok)).first()[0]
         n_shards = adaptive_n_shards(
             int(total or 0), target_tokens_per_shard
         )
@@ -87,7 +105,7 @@ def pack_sequences(
     toks = df.select(
         F.col(id_col),
         F.pmod(shard_key, F.lit(n_shards)).cast("int").alias("shard"),
-        whitespace_token_count(text_col).alias("n_tokens"),
+        tok.alias("n_tokens"),
     )
     before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return toks.select(

@@ -101,3 +101,35 @@ def test_unknown_tokenizer_raises(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="tokenizer"):
         chunk_documents(df, tokenizer="sentencepiece")
+
+
+def test_pack_sequences_bpeish_tokenizer(spark):
+    """Packing bills by the chosen tokenizer: punctuation-dense text
+    has more bpeish pieces than whitespace tokens, so the same doc
+    fills more of its bin; budgets stay capacity-consistent."""
+    import re
+
+    from log_aggregation_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        BPEISH_PATTERN,
+    )
+
+    text = "a-b c.d e!f " * 4  # 12 ws tokens, 36 bpeish pieces
+    df = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id long, text string"
+    )
+    ws = {r.doc_id: r for r in pack_sequences(
+        df, capacity=24, n_shards=1).collect()}
+    bp = {r.doc_id: r for r in pack_sequences(
+        df, capacity=24, n_shards=1, tokenizer="bpeish").collect()}
+    n_pieces = len(re.findall(BPEISH_PATTERN, text))
+    assert all(r.n_tokens == 12 for r in ws.values())
+    assert all(r.n_tokens == n_pieces == 36 for r in bp.values())
+    # ws: two 12-token docs per 24-capacity bin; bpeish: each 36-piece
+    # doc straddles (36 > 24) and bins advance faster
+    assert max(r.bin_id for r in ws.values()) == 2
+    assert max(r.bin_id for r in bp.values()) == 7  # start bin of doc 6: floor(5*36/24)
+    assert not any(r.straddles for r in ws.values())
+    assert all(r.straddles for r in bp.values())
