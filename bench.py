@@ -140,6 +140,8 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
     if repeats < 1:
         raise ValueError(f"SPARK_GRAFT_REPEATS must be >= 1, got {repeats}")
 
+    disk_probes: list[float] = []
+
     def timed_pipeline(name: str, df, reps: int) -> None:
         # FRESH out_dir per rep: a rerun into the same dir hits the
         # resume path (all hours committed) and measures a no-op —
@@ -147,16 +149,24 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         # sample landed in a host IO phase, which nothing in the
         # artifact could adjudicate (VERDICT r4 #1/#2)
         ts = []
+        probes = []
         for _ in range(reps):
             out_dir = tempfile.mkdtemp(prefix=f"lap_bench_{name}_")
             try:
+                # out-of-band disk probe alongside EACH rep: a slow rep
+                # with a slow probe is host-phase; a slow rep with a
+                # fast probe is the code — the artifact alone can now
+                # adjudicate (VERDICT r5 next-round #3)
+                probes.append(disk_probe(out_dir))
                 t0 = time.perf_counter()
                 run_pipeline(spark, df, out_dir)
                 ts.append(time.perf_counter() - t0)
             finally:
                 shutil.rmtree(out_dir, ignore_errors=True)
+        disk_probes.extend(probes)
         single_shot[name] = round(ts[0], 4)
         reps_log[name] = [round(t, 4) for t in ts]
+        reps_log[f"{name}_disk_probe"] = probes
         timings[name] = round(min(ts), 4)
         medians[name] = round(_median(ts), 4)
         spreads[name] = round(max(ts) - min(ts), 4)
@@ -421,6 +431,12 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
             "sustained_median": medians["pipeline_sustained"],
             "sustained_spread": spreads["pipeline_sustained"],
             "reps": len(reps_log["pipeline_e2e"]),
+            # host disk-phase summary over all per-rep probes (per-rep
+            # values in the verbose record's *_disk_probe rows): a slow
+            # pipeline median with a proportionally slow probe is the
+            # host, not the code
+            "disk_probe_median_s": round(_median(disk_probes), 4),
+            "disk_probe_max_s": round(max(disk_probes), 4),
         },
         "sf": _sf_from_dir(sf_dir),
         "cores": cores,
@@ -446,21 +462,62 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
     }
 
 
-MAX_CONTRACT_LINE_BYTES = 4000
+# The driver's stdout tail-capture is empirically 2000 bytes (every
+# BENCH_r0*.json records tail_len=2000; r1-r3 lines fit and parsed,
+# r4-r5 lines at 2.3-2.8 KB did not -> "parsed": null two rounds
+# running, VERDICT r5 #1).  1800 leaves headroom for anything the
+# runner appends after our line.
+MAX_CONTRACT_LINE_BYTES = 1800
+
+# Keys that must survive every degradation step — the headline
+# metrics the driver records.  Everything else is droppable.
+_HEADLINE_KEYS = (
+    "metric", "value", "unit", "pipeline", "sf", "cores",
+    "n_turns", "turns_per_sec", "turns_per_sec_median",
+    "n_turns_sustained", "turns_per_sec_sustained",
+    "turns_per_sec_sustained_median",
+)
 
 
 def contract_line(report: dict) -> str:
-    """The ONE printed JSON line, guaranteed compact: verbose columns
-    stay in the side file, and if the line still exceeds the budget
-    (e.g. the query list triples) the per-query maps degrade before
-    the headline metrics do."""
+    """The ONE printed JSON line, guaranteed <= MAX_CONTRACT_LINE_BYTES:
+    verbose columns stay in the side file, and if the line exceeds the
+    budget the per-query maps degrade before the headline metrics do.
+    The final fallback re-checks the bound (a headline-only dict that
+    somehow overflowed would degrade to metric/value/unit alone) so the
+    invariant the driver-contract test pins holds unconditionally."""
     compact = {k: v for k, v in report.items() if k != "_verbose"}
-    for drop in ("queries_median", "queries"):
-        line = json.dumps(compact)
-        if len(line.encode()) <= MAX_CONTRACT_LINE_BYTES:
-            return line
-        compact.pop(drop, None)
-    return json.dumps(compact)
+    line = json.dumps(compact)
+    if len(line.encode()) <= MAX_CONTRACT_LINE_BYTES:
+        return line
+    compact.pop("queries_median", None)
+    # before dropping the per-query map wholesale, prune it to the
+    # slowest entries that fit — the expensive queries are the ones a
+    # cross-round reader needs on the parsed line (the full map is in
+    # BENCH/local_last_run.json either way)
+    q = compact.get("queries")
+    if isinstance(q, dict) and q:
+        by_cost = sorted(q.items(), key=lambda kv: (-kv[1], kv[0]))
+        lo, hi = 0, len(by_cost)
+        while lo < hi:  # largest prefix of the slowest that fits
+            mid = (lo + hi + 1) // 2
+            compact["queries"] = dict(sorted(by_cost[:mid]))
+            if len(json.dumps(compact).encode()) <= MAX_CONTRACT_LINE_BYTES:
+                lo = mid
+            else:
+                hi = mid - 1
+        compact["queries"] = dict(sorted(by_cost[:lo]))
+        if lo == 0:
+            compact.pop("queries", None)
+    line = json.dumps(compact)
+    if len(line.encode()) <= MAX_CONTRACT_LINE_BYTES:
+        return line
+    compact = {k: compact[k] for k in _HEADLINE_KEYS if k in compact}
+    line = json.dumps(compact)
+    if len(line.encode()) <= MAX_CONTRACT_LINE_BYTES:
+        return line
+    return json.dumps({k: compact[k] for k in ("metric", "value", "unit")
+                       if k in compact})
 
 
 def write_verbose(report: dict, path: str | None = None) -> str:
@@ -474,6 +531,35 @@ def write_verbose(report: dict, path: str | None = None) -> str:
     with open(out, "w") as f:
         json.dump(full, f, indent=1)
     return out
+
+
+DISK_PROBE_BYTES = 64 * 1024 * 1024  # 64 MiB — ~0.05-0.3 s in a clean
+# phase on this host, multi-second in the IO phases that stamped the
+# r3/r5 pipeline numbers; big enough to leave the page cache's write
+# combining, small enough to not perturb the rep it adjudicates
+
+
+def disk_probe(scratch_dir: str, n_bytes: int = DISK_PROBE_BYTES) -> float:
+    """Fixed-size out-of-band write+fsync+read on the SAME filesystem
+    the pipeline sinks to.  Emitted per rep so a reader of the bench
+    artifact can attribute a slow rep to a host IO phase (probe slow
+    too) vs the code (probe normal) without builder-side evidence —
+    VERDICT r5 next-round #3.  Deterministic non-zero pattern (a
+    zero page would be trivially served from cache on some FS)."""
+    path = os.path.join(scratch_dir, "_disk_probe.bin")
+    buf = bytes(range(256)) * (1024 * 1024 // 256)  # 1 MiB pattern
+    t0 = time.perf_counter()
+    with open(path, "wb") as f:
+        for _ in range(n_bytes // len(buf)):
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    with open(path, "rb") as f:
+        while f.read(8 * 1024 * 1024):
+            pass
+    elapsed = time.perf_counter() - t0
+    os.remove(path)
+    return round(elapsed, 4)
 
 
 def _spin(n: int) -> int:

@@ -148,6 +148,11 @@ def test_bench_contract_line_stays_parseable(tmp_path):
         "turns_per_sec": 100.0,
         "_verbose": {"queries_reps": {k: [v, v, v] for k, v in q.items()}},
     }
+    # the driver's stdout tail-capture is empirically 2000 bytes
+    # (tail_len=2000 in every BENCH_r0*.json); r4/r5 lines at 2.3-2.8KB
+    # under the old 4000 cap recorded "parsed": null — the cap must sit
+    # UNDER the real window, with headroom (VERDICT r5 #1)
+    assert bench.MAX_CONTRACT_LINE_BYTES <= 1800
     line = bench.contract_line(report)
     assert len(line.encode()) <= bench.MAX_CONTRACT_LINE_BYTES
     parsed = json.loads(line)
@@ -160,6 +165,13 @@ def test_bench_contract_line_stays_parseable(tmp_path):
     line2 = bench.contract_line(big)
     assert len(line2.encode()) <= bench.MAX_CONTRACT_LINE_BYTES
     assert json.loads(line2)["turns_per_sec"] == 100.0
+    # the bound holds UNCONDITIONALLY: even a report whose non-map
+    # fields alone overflow (here: a bloated pipeline dict) degrades
+    # to the headline floor instead of printing oversized (ADVICE r5)
+    worst = dict(big, pipeline={f"col{i}": 1.0 for i in range(500)})
+    line3 = bench.contract_line(worst)
+    assert len(line3.encode()) <= bench.MAX_CONTRACT_LINE_BYTES
+    assert json.loads(line3)["metric"] == "parse_route_aggregate_total"
     # verbose record carries the full evidence
     out = bench.write_verbose(report, str(tmp_path / "local.json"))
     full = json.loads(open(out).read())
