@@ -380,8 +380,15 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         new_b = docs.filter("doc_id % 10 = 0")
         timed("doc_incremental_exact_new", lambda: noop(
             incremental_exact_new(new_b, seen_b)))
-        timed("doc_incremental_neardup_new", lambda: noop(
-            minhash_lsh_pairs_cross(new_b, seen_b)))
+        def _neardup_cross():
+            pairs = minhash_lsh_pairs_cross(new_b, seen_b)
+            noop(pairs)
+            # caller-owned cache lifetime: free the shingle blocks so
+            # the 3-rep loop doesn't accumulate cached frames
+            for f in pairs.lap_persisted:
+                f.unpersist()
+
+        timed("doc_incremental_neardup_new", _neardup_cross)
         from log_aggregation_pipeline_spark.operators.chunking import (
             chunk_documents,
         )

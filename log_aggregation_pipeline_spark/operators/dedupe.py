@@ -329,7 +329,14 @@ def minhash_lsh_pairs_cross(
     band table bucketed by (band, bh), so each increment shuffles
     only the (batch-sized) new side; the verify join fetches shingle
     arrays for candidates only.  Same recall arithmetic as
-    ``minhash_lsh_pairs``: miss probability (1-j^r)^b per true pair."""
+    ``minhash_lsh_pairs``: miss probability (1-j^r)^b per true pair.
+
+    Cache lifetime is CALLER-OWNED (ADVICE r5): the two shingle frames
+    are persisted (consumed by both the signature and the verify legs)
+    and exposed as ``result.lap_persisted`` — after materializing the
+    result, ``for f in result.lap_persisted: f.unpersist()`` frees the
+    blocks; otherwise they live until session end (repeated calls,
+    e.g. bench loops, accumulate cached blocks)."""
     r = num_hashes // bands
     sh_new = _shingle_df(new_docs, k, text_col, id_col).persist()
     sh_seen = _shingle_df(seen_docs, k, text_col, id_col).persist()
@@ -353,7 +360,7 @@ def minhash_lsh_pairs_cross(
         .select(F.col("a._id").alias("seen_id"), F.col("b._id").alias("new_id"))
         .distinct()
     )
-    return (
+    out = (
         cand.join(sh_seen.withColumnsRenamed({"_id": "seen_id", "_sh": "sha"}),
                   "seen_id")
         .join(sh_new.withColumnsRenamed({"_id": "new_id", "_sh": "shb"}),
@@ -369,6 +376,8 @@ def minhash_lsh_pairs_cross(
         .filter(F.col("jaccard") >= threshold)
         .select("seen_id", "new_id", "jaccard")
     )
+    out.lap_persisted = (sh_new, sh_seen)
+    return out
 
 
 def minhash_lsh_pairs(

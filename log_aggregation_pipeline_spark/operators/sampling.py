@@ -144,7 +144,10 @@ def corpus_mix(
     return (
         df.withColumn("n_tokens", whitespace_token_count(text_col))
         .withColumn("_cum", F.sum("n_tokens").over(w).cast("long"))
-        .filter(F.col("_cum") <= tgt)
+        # n_tokens > 0: a zero-token doc satisfies cum <= 0 in a
+        # target-0 source, leaking empty docs from sources the weights
+        # exclude (ADVICE r5) — mirrored in oracle.corpus_mix_sql
+        .filter((F.col("_cum") <= tgt) & (F.col("n_tokens") > 0))
         .select(id_col, source_col, "n_tokens", F.col("_cum").alias("cum_tokens"))
     )
 

@@ -139,6 +139,7 @@ c AS (
 )
 SELECT doc_id, source, n_tokens, cum_tokens FROM c
 WHERE cum_tokens <= CASE source {case} ELSE 0 END
+  AND n_tokens > 0
 """
 
 
@@ -636,8 +637,11 @@ new_batch AS (
   WHERE doc_id >= {split_id} AND doc_id % {clone_new_every} = 0
 ),
 keep AS (SELECT ch, min(doc_id) AS doc_id FROM new_batch GROUP BY ch)
+-- NOT EXISTS, not NOT IN: a NULL hash in seen (NULL-text doc) would
+-- make NOT IN return zero rows, while the Spark left_anti join keeps
+-- null-keyed new rows (ADVICE r5) -- null-safe twin
 SELECT doc_id, ch AS content_hash FROM keep
-WHERE ch NOT IN (SELECT ch FROM seen)
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.ch = keep.ch)
 """
 
 

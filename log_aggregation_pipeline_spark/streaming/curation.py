@@ -49,9 +49,13 @@ def run_incremental_dedup_stream(
     with ``content_hash`` attached — the rows to append to the seen
     table before the next increment.
 
-    The static side is re-read per micro-batch by Spark's stream-static
-    join, so refreshing the seen table between increments needs no
-    stream restart.  In-batch duplicate pairs are NOT collapsed here
+    The static side's parquet FILE LISTING is snapshotted when this
+    function builds the plan — a long-running stream would NOT see
+    files appended to ``seen_hashes_dir`` afterwards (ADVICE r5).
+    Each availableNow invocation rebuilds the plan, so the increment
+    workflow is: run one invocation to drain pending files, append the
+    emitted hashes to the seen table, invoke again for the next
+    increment — every invocation re-reads the seen table fresh.  In-batch duplicate pairs are NOT collapsed here
     (that is ``dropDuplicatesWithinWatermark`` composed upstream, or
     the batch ``incremental_exact_new`` window); this leg is the
     corpus-novelty gate, stateless and checkpointed — exactly-once
