@@ -122,20 +122,13 @@ DRIVER_WINDOW = 50
 # on stale evidence, so they sort directly after the unverified front
 # (still inside the window while 27 + len(RETOUCHED) <= 50).  Clear or
 # rewrite per round; leaving a stale name is harmless (it just keeps
-# priority).  r5: the regex-dialect fixes (normalize_text \s class,
-# gopher \p{L}, BPEISH class, markup newline-preserving collapse,
-# simhash pandas-core norm) touched these r4-verified entries.
+# priority).  r6: corpus_mix gained the zero-token filter (both
+# sides — a semantics change); the incremental-exact oracle was
+# rewritten NOT IN -> NOT EXISTS (equivalence-preserving on this
+# corpus, but the twin changed, so its evidence must be fresh).
 RETOUCHED: frozenset[str] = frozenset({
-    "doc_markup_strip",
-    "doc_gopher_quality",
-    "doc_chunks_bpeish",
-    "dataset_card",
-    "corpus_prep_funnel_neardup",
-    "doc_cluster_keepers",
-    "doc_lang_id",
-    "doc_lm_score",
-    "doc_fingerprint",
-    "doc_simhash_pairs",
+    "corpus_mix_weighted",
+    "doc_incremental_exact_new",
 })
 
 
@@ -648,6 +641,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["corpus_prep_funnel_neardup_mat"] = _funnel_neardup_mat
+    # LSH pair-source form — the 100 TB pair stage (banded MinHash
+    # buckets instead of the exact shingle self-join).  Output-
+    # identical to the uncapped exact pair set at this corpus's
+    # qualifying-pair floor (jaccard >= 0.8: miss ~2e-4 at 64x16 —
+    # same recall arithmetic as doc_minhash_lsh_pairs), so the oracle
+    # is the exact funnel twin with the cap disabled.
+    q["corpus_prep_funnel_neardup_lsh"] = lambda s, d: corpus_prep_funnel_neardup(
+        _docs(s, d), quality_min=1.0, jaccard_k=JACCARD_K,
+        jaccard_t=JACCARD_T, decontam_k=DECONTAM_K, n_eval=N_EVAL,
+        pairs="lsh",
+    )
     q["doc_top_ngrams"] = lambda s, d: text_analysis.top_ngrams(
         _docs(s, d), k=JACCARD_K, top=20
     )
@@ -1073,6 +1077,14 @@ def oracle_sql() -> dict[str, str]:
     # materialization is a plan-shape option, not a semantics change:
     # the oracle is identical by construction
     o["corpus_prep_funnel_neardup_mat"] = o["corpus_prep_funnel_neardup"]
+    # LSH form: minhash_lsh_pairs has no shingle cap (its verify stage
+    # computes true Jaccard over ALL shingles), so its exact twin is
+    # the funnel oracle with the cap disabled
+    o["corpus_prep_funnel_neardup_lsh"] = oracle.corpus_prep_neardup_sql(
+        text_analysis.STOPWORDS, quality_min=1.0, jaccard_k=JACCARD_K,
+        jaccard_t=JACCARD_T, max_shingle_freq=None,
+        k=DECONTAM_K, n_eval=N_EVAL,
+    )
     o["doc_top_ngrams"] = oracle.top_ngrams_sql(JACCARD_K, top=20)
     o["doc_ngram_novelty"] = oracle.ngram_novelty_sql(
         JACCARD_K, NOVELTY_RARE_DF, NOVELTY_COMMON_DF

@@ -408,6 +408,10 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         # v2: adds the jaccard-pairs + CC + keeper-election stage
         timed("corpus_prep_funnel_neardup",
               lambda: noop(corpus_prep_funnel_neardup(docs)))
+        # LSH pair source — the 100 TB pair stage (banded buckets
+        # instead of the exact shingle self-join)
+        timed("corpus_prep_funnel_neardup_lsh",
+              lambda: noop(corpus_prep_funnel_neardup(docs, pairs="lsh")))
 
         # materialized-keeper form: fresh dir per rep (a reused dir
         # would re-read the previous rep's files and skip the write)

@@ -94,16 +94,34 @@ def corpus_prep_funnel_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize_dir: str | None = None,
+    pairs: str = "jaccard",
+    lsh_num_hashes: int = 64,
+    lsh_bands: int = 16,
 ) -> DataFrame:
     """The funnel with a NEAR-dup stage between exact dedup and the
     quality floor — the full curation recipe a pretraining run uses:
 
-    exact keepers -> n-gram-Jaccard pairs over the keepers ->
+    exact keepers -> near-dup pairs over the keepers ->
     quality-elected cluster keepers (losers anti-joined away) ->
     quality floor -> eval removal -> decontamination.
 
     Single-row report: (n_docs, n_exact, n_neardup, n_quality,
     n_clean, clean_tokens).
+
+    ``pairs`` selects the pair source.  The default ``"jaccard"``
+    (``ngram_jaccard_pairs``) is EXACT-by-contract but its capped
+    shingle self-join's candidate volume (sum of f² over sub-cap
+    shingle frequencies) is still super-linear in corpus size — fine
+    for audits and test scale, NOT the shape to run at 100 TB.
+    **Scale users should pass ``pairs="lsh"``**: banded MinHash buckets
+    (``minhash_lsh_pairs``, 64 hashes x 16 bands) + exact-Jaccard
+    verify — candidate volume is bounded by bucket collisions, and at
+    this corpus's qualifying-pair floor (jaccard >= 0.8) the per-pair
+    miss probability is (1-0.8^4)^16 ~= 2e-4, so the output equals the
+    exact pair set (the same recall arithmetic the driver's
+    ``doc_minhash_lsh_pairs`` entry relies on; equality pinned in
+    tests).  ``max_shingle_freq`` applies to the jaccard source only
+    (the LSH verify stage computes true Jaccard over all shingles).
 
     Composition notes on top of ``corpus_prep_funnel``'s:
     - pairs are computed over the EXACT keepers (identical copies are
@@ -136,19 +154,29 @@ def corpus_prep_funnel_neardup(
         cluster_drop_list,
     )
     from log_aggregation_pipeline_spark.operators.dedupe import (
+        minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
 
+    if pairs not in ("jaccard", "lsh"):
+        raise ValueError(f"pairs must be 'jaccard' or 'lsh', got {pairs!r}")
     exact = exact_dedup_rows(docs, text_col=text_col, id_col=id_col)
     if materialize_dir is not None:
         exact.write.mode("overwrite").parquet(materialize_dir)
         exact = docs.sparkSession.read.parquet(materialize_dir)
-    pairs = ngram_jaccard_pairs(
-        exact, k=jaccard_k, threshold=jaccard_t,
-        max_shingle_freq=max_shingle_freq, text_col=text_col,
-        id_col=id_col,
-    )
-    drop = cluster_drop_list(exact, pairs, id_col=id_col, text_col=text_col)
+    if pairs == "lsh":
+        pair_df = minhash_lsh_pairs(
+            exact, num_hashes=lsh_num_hashes, bands=lsh_bands,
+            threshold=jaccard_t, k=jaccard_k, text_col=text_col,
+            id_col=id_col,
+        )
+    else:
+        pair_df = ngram_jaccard_pairs(
+            exact, k=jaccard_k, threshold=jaccard_t,
+            max_shingle_freq=max_shingle_freq, text_col=text_col,
+            id_col=id_col,
+        )
+    drop = cluster_drop_list(exact, pair_df, id_col=id_col, text_col=text_col)
     neardup = exact.join(drop, id_col, "left_anti")
     qual = quality_features(neardup, text_col=text_col).filter(
         F.col("quality_score") >= quality_min

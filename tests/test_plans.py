@@ -238,6 +238,28 @@ def test_neardup_funnel_no_cartesian(spark):
     assert "CartesianProduct" not in p
 
 
+def test_neardup_funnel_lsh_pair_source(spark):
+    """pairs="lsh" swaps the exact shingle self-join for banded
+    MinHash buckets + exact verify (the 100 TB pair stage).  At this
+    corpus's qualifying-pair floor (jaccard >= 0.8) the 64x16-band
+    miss probability is ~2e-4, so the funnel report must equal the
+    uncapped exact form row-for-row; the plan must stay free of
+    cartesian products."""
+    import pytest
+
+    from log_aggregation_pipeline_spark.plans.corpus_prep import (
+        corpus_prep_funnel_neardup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lsh = corpus_prep_funnel_neardup(docs, pairs="lsh")
+    assert "CartesianProduct" not in plan_of(lsh)
+    exact = corpus_prep_funnel_neardup(docs, max_shingle_freq=None)
+    assert lsh.collect() == exact.collect()
+    with pytest.raises(ValueError, match="pairs"):
+        corpus_prep_funnel_neardup(docs, pairs="bogus")
+
+
 def test_neardup_funnel_materialized_single_keeper_scan(spark):
     """materialize_dir kills the 5x exact-keeper sub-plan recompute:
     the keeper set is written once at call time and every downstream
