@@ -660,6 +660,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), k=JACCARD_K, rare_max_df=NOVELTY_RARE_DF,
         common_min_df=NOVELTY_COMMON_DF,
     )
+    # fixed-point log-perplexity: true ln(df) sums in integer
+    # micronats via the Python-computed literal table — no in-engine
+    # float log on either side (closes the r2 float-sum blocker)
+    q["doc_ngram_logppl"] = lambda s, d: text_analysis.ngram_logppl(
+        _docs(s, d), k=JACCARD_K
+    )
     q["emb_rp_project"] = lambda s, d: similarity.rp_project(
         _emb(s, d), in_dim=64, out_dim=8
     )
@@ -1088,6 +1094,12 @@ def oracle_sql() -> dict[str, str]:
     o["doc_top_ngrams"] = oracle.top_ngrams_sql(JACCARD_K, top=20)
     o["doc_ngram_novelty"] = oracle.ngram_novelty_sql(
         JACCARD_K, NOVELTY_RARE_DF, NOVELTY_COMMON_DF
+    )
+    o["doc_ngram_logppl"] = oracle.ngram_logppl_sql(
+        JACCARD_K,
+        text_analysis.log_df_micronats(),
+        text_analysis.LOGPPL_NOVEL_MAX_U,
+        text_analysis.LOGPPL_COMMON_MIN_U,
     )
     o["emb_rp_project"] = oracle.rp_project_sql(
         similarity._hyperplanes(64, 8, 13), out_dim=8

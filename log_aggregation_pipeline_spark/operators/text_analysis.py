@@ -766,6 +766,94 @@ def ngram_novelty(
     )
 
 
+LOGPPL_DF_CAP = 1024  # df clamp for the micronat table (beyond this a
+# gram is saturated "common"; ln is flat there — ln(1024) vs ln(2048)
+# differs by 0.69 nat on a scale the buckets cut at whole nats)
+LOGPPL_NOVEL_MAX_U = 693_147  # avg ln(df) <= ln(2): mostly-rare grams
+LOGPPL_COMMON_MIN_U = 2_079_442  # avg ln(df) >= ln(8): boilerplate
+
+
+def log_df_micronats(cap: int = LOGPPL_DF_CAP) -> list[int]:
+    """ln(df) quantized to integer MICRONATS for df = 1..cap, computed
+    ONCE here in Python and embedded as a literal array in BOTH the
+    Spark plan and the DuckDB oracle — the single-source fixed-point
+    table that sidesteps the cross-engine float-log blocker (libm vs
+    JVM Math.log can differ by 1 ulp; an integer table cannot)."""
+    import math
+
+    return [round(1e6 * math.log(d)) for d in range(1, cap + 1)]
+
+
+def ngram_logppl(
+    df: DataFrame,
+    k: int = 3,
+    cap: int = LOGPPL_DF_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Log-space n-gram scorer in FIXED POINT — the true-log sibling of
+    ``ngram_novelty`` (which buckets by df thresholds).  Per doc, over
+    its distinct k-grams: sum and average of ln(corpus document
+    frequency) in integer micronats, via the Python-computed literal
+    table ``log_df_micronats`` (df clamped to ``cap``).  Low average
+    log-df = the doc's grams are corpus-rare (novel or noise); high =
+    boilerplate.  Under the df unigram model P(g) = df(g)/N the true
+    per-gram surprisal is ln N - ln df: N is a per-corpus constant, so
+    avg_log_df ranks docs identically to average surprisal while
+    needing no in-engine log at all.
+
+    Integer discipline end-to-end (the ngram_novelty/gopher technique):
+    integer micronat lookup -> integer SUM -> integer ``div`` for the
+    average -> bucket from the integer.  Both engines run the same
+    integer arithmetic on the same literal table, so the twins cannot
+    drift by rounding.
+
+    Columns: (doc_id, n_grams, sum_log_df_u, avg_log_df_u, ppl_bucket)
+    with bucket cuts at ln(2)/ln(8) micronats (novel/mixed/common).
+    Docs with < k tokens have no k-grams and are absent (the
+    jaccard-family convention).
+
+    Plan shape / 100 TB posture: identical to ``ngram_novelty`` — the
+    gram-df equi-join (AQE-splittable, never count-over-window), one
+    shuffle per stage; the micronat table is a foldable array literal
+    riding the join projection (element_at on a constant — no UDF, no
+    broadcast needed)."""
+    from log_aggregation_pipeline_spark.operators.dedupe import (
+        _explode_shingles,
+        _shingle_df,
+    )
+
+    table = log_df_micronats(cap)
+    ex = _explode_shingles(_shingle_df(df, k, text_col, id_col))
+    dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
+    lit_table = F.lit(table)  # constant-folded ArrayType literal
+    mu = F.element_at(lit_table, F.least(F.col("_df"), F.lit(cap)).cast("int"))
+    agg = (
+        ex.join(dfreq, "_s")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(mu.cast("long")).alias("sum_log_df_u"),
+        )
+    )
+    return (
+        agg.select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "sum_log_df_u",
+            # integer division: both operands non-negative (ln(df)>=0),
+            # so Spark's div and DuckDB's // agree (trunc == floor)
+            F.expr("sum_log_df_u div n_grams").alias("avg_log_df_u"),
+        )
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col("avg_log_df_u") <= LOGPPL_NOVEL_MAX_U, F.lit("novel"))
+            .when(F.col("avg_log_df_u") >= LOGPPL_COMMON_MIN_U, F.lit("common"))
+            .otherwise(F.lit("mixed")),
+        )
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     k: int = 3,

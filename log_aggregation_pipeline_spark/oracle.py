@@ -723,6 +723,53 @@ FROM r
 """
 
 
+def ngram_logppl_sql(
+    k: int,
+    micronats: list[int],
+    novel_max_u: int,
+    common_min_u: int,
+) -> str:
+    """Twin of text_analysis.ngram_logppl: same shingle CTE family,
+    the SAME Python-computed micronat table embedded as a list literal
+    (single source — the caller passes text_analysis.log_df_micronats'
+    output to both engines), integer SUM, integer ``//`` division
+    (operands non-negative, so DuckDB's trunc == Spark's div floor),
+    bucket from the integer average.  No float log runs in either
+    engine."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    cap = len(micronats)
+    table = "[" + ", ".join(str(v) for v in micronats) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ {gram} for i in range(1, len(t) - {k - 2}) ]) AS shingles
+  FROM toks WHERE len(t) >= {k}
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_grams,
+         cast(sum({table}[least(df, {cap})]) AS BIGINT) AS sum_log_df_u
+  FROM ex JOIN dfreq USING (s)
+  GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id, n_grams, sum_log_df_u,
+         sum_log_df_u // n_grams AS avg_log_df_u
+  FROM agg
+)
+SELECT doc_id, n_grams, sum_log_df_u, avg_log_df_u,
+       CASE WHEN avg_log_df_u <= {novel_max_u} THEN 'novel'
+            WHEN avg_log_df_u >= {common_min_u} THEN 'common'
+            ELSE 'mixed' END AS ppl_bucket
+FROM r
+"""
+
+
 def training_pairs_sql(
     prompt_role: str = "user",
     response_role: str = "assistant",

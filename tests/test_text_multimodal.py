@@ -307,6 +307,38 @@ def test_ngram_novelty_known_frequencies(spark):
     assert got[2].novelty_bucket == "mixed"
 
 
+def test_ngram_logppl_fixed_point(spark):
+    """Hand-computed micronat sums on the same 5-doc corpus as the
+    novelty test: integer table lookup -> integer SUM -> integer div,
+    bucket edges at ln(2)/ln(8) micronats, df clamped to the cap."""
+    import math
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # twin: 'a b c' df3, 'b c d'/'c d e' df2
+        (3, "a b c x y z"),        # 'a b c' df3 + three df-1 grams
+        (4, "q"),                  # < k tokens: absent
+        (5, "m n o p"),            # fully unique grams -> avg 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TA.ngram_logppl(df, k=3).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    ln2, ln3 = round(1e6 * math.log(2)), round(1e6 * math.log(3))
+    r1 = got[1]
+    assert r1.sum_log_df_u == ln3 + 2 * ln2
+    assert r1.avg_log_df_u == (ln3 + 2 * ln2) // 3
+    assert r1.ppl_bucket == "mixed"
+    r3 = got[3]  # sum = ln3 only, over 4 grams -> well under ln(2)
+    assert (r3.n_grams, r3.sum_log_df_u, r3.avg_log_df_u) == (4, ln3, ln3 // 4)
+    assert r3.ppl_bucket == "novel"
+    assert got[5].sum_log_df_u == 0 and got[5].ppl_bucket == "novel"
+    # df clamp: with cap=2 the df-3 gram saturates at ln(2)
+    capped = {r.doc_id: r for r in TA.ngram_logppl(df, k=3, cap=2).collect()}
+    assert capped[1].sum_log_df_u == 3 * ln2
+    # table is the single source both engines embed
+    assert TA.log_df_micronats(3) == [0, ln2, ln3]
+
+
 def test_strip_markup(spark):
     rows = [
         (1, '<div class="a"><p>Hello &amp; <b>world</b></p>'
