@@ -34,6 +34,83 @@ def test_salted_repartition_flattens(spark, transcripts):
     assert salted["n_rows"].sum() == n == plain["n_rows"].sum()
 
 
+def test_salted_agg_bounds_hot_partition(spark):
+    """VERDICT r5 #8: post-shuffle partition-size evidence for the agg
+    shape itself.  A burst conversation (all its turns inside ONE hour
+    — the runaway-agent-loop case; the generator's 61 s spacing is
+    compressed for the hot conv) makes one (conv_id, hour) group own
+    most rows.  The unsalted aggregate's exchange hashes on
+    (conv_id, hour), so that entire group lands in a single reduce
+    partition; the salted phase-1 exchange hashes on
+    (conv_id, hour, salt) and must bound the max partition.  Measured
+    by hash-repartitioning the raw rows on each form's exact exchange
+    keys (Exchange hashpartitioning uses the same HashPartitioning as
+    repartition(n, cols)) — the reduce-input distribution in the
+    regime the salted variant documents itself for (map-side combine
+    ineffective: grouped-map / collect-style / sort-fallback aggs).
+    Plus a plan pin: the salted form's first exchange carries _salt,
+    its merge exchange does not."""
+    from log_aggregation_pipeline_spark.sources.transcripts import (
+        generate_transcripts,
+        transcripts_df,
+    )
+
+    pdf = generate_transcripts(n_convs=40, turns_per_conv=50, skew_convs=1,
+                               skew_factor=64, seed=11)
+    df = transcripts_df(spark, pdf)
+    hot, n_salt, n_parts = "conv_00000", 16, 32
+    hot_n = 50 * 64  # 3200 rows, all in one (conv_id, hour) group
+    burst = F.timestamp_seconds(F.lit(1_709_294_400) + F.col("turn_idx") % 3600)
+    bdf = df.withColumn(
+        "ts",
+        F.when(F.col("conv_id") == hot, burst).otherwise(
+            F.col("ts").cast("timestamp")
+        ),
+    ).withColumn("hour", F.date_trunc("hour", "ts"))
+
+    plain = partition_row_counts(
+        bdf.repartition(n_parts, "conv_id", "hour")
+    ).toPandas()
+    salted = partition_row_counts(
+        bdf.withColumn("_salt", F.col("turn_idx") % n_salt)
+        .repartition(n_parts, "conv_id", "hour", "_salt")
+    ).toPandas()
+    # unsalted: the burst group is indivisible — one partition holds
+    # all 3200 of its rows; salted: split across n_salt reducers
+    assert plain["n_rows"].max() >= hot_n
+    assert salted["n_rows"].max() <= plain["n_rows"].max() * 0.25
+    assert salted["n_rows"].sum() == plain["n_rows"].sum() == len(pdf)
+
+    # correctness on the burst data, and the plan carries the salt in
+    # the partial exchange only
+    import pandas as pd
+
+    a = conv_hour_agg(bdf.drop("hour")).orderBy("conv_id", "hour").toPandas()
+    b = (
+        conv_hour_agg(bdf.drop("hour"), salted=True, n_salt=n_salt)
+        .orderBy("conv_id", "hour")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # Catalyst rewrites computed grouping keys to _groupingexpression#N,
+    # so pin key COUNTS: phase-1 exchange hashes 3 keys (conv, hour,
+    # salt), the merge 2 — the unsalted plan has a single 2-key exchange
+    def _exchange_key_counts(df_):
+        plan = df_._jdf.queryExecution().executedPlan().toString()
+        counts = []
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning(" not in ln:
+                continue
+            inner = ln.split("hashpartitioning(")[1].rsplit(")", 1)[0]
+            counts.append(len(inner.split(", ")) - 1)  # last = numParts
+        return sorted(counts)
+
+    assert _exchange_key_counts(
+        conv_hour_agg(bdf.drop("hour"), salted=True, n_salt=n_salt)
+    ) == [2, 3]
+    assert _exchange_key_counts(conv_hour_agg(bdf.drop("hour"))) == [2]
+
+
 def test_salted_agg_correct_under_extreme_skew(spark):
     # one conversation owns 90% of rows
     from log_aggregation_pipeline_spark.sources.transcripts import (
