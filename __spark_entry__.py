@@ -666,6 +666,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_ngram_logppl"] = lambda s, d: text_analysis.ngram_logppl(
         _docs(s, d), k=JACCARD_K
     )
+    q["doc_tfidf_keywords"] = lambda s, d: text_analysis.tfidf_keywords(
+        _docs(s, d), top_m=5
+    )
+    # the synthetic corpus is single-line word soup (no cross-doc
+    # repeated lines), so the drop path stays 0 here — the hash check
+    # still pins tokenless reassembly (clean_text == text) and the
+    # counters; the drop semantics are pinned by the unit test's
+    # planted-boilerplate corpus
+    q["doc_line_dedup"] = lambda s, d: text_analysis.line_dedup(
+        _docs(s, d), min_df=2
+    )
     q["emb_rp_project"] = lambda s, d: similarity.rp_project(
         _emb(s, d), in_dim=64, out_dim=8
     )
@@ -1101,6 +1112,10 @@ def oracle_sql() -> dict[str, str]:
         text_analysis.LOGPPL_NOVEL_MAX_U,
         text_analysis.LOGPPL_COMMON_MIN_U,
     )
+    o["doc_tfidf_keywords"] = oracle.tfidf_keywords_sql(
+        5, text_analysis.log_df_micronats()
+    )
+    o["doc_line_dedup"] = oracle.line_dedup_sql(2)
     o["emb_rp_project"] = oracle.rp_project_sql(
         similarity._hyperplanes(64, 8, 13), out_dim=8
     )

@@ -854,6 +854,137 @@ def ngram_logppl(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    top_m: int = 5,
+    cap: int = LOGPPL_DF_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document distinctive terms by fixed-point TF-IDF.
+
+    score_u = tf * (ln(cap) - ln(min(df, cap))) in integer MICRONATS
+    via the same Python-computed ``log_df_micronats`` table both
+    engines embed (the ``ngram_logppl`` discipline — no in-engine
+    float log, no 1-ulp drift).  The idf reference is the CLAMP
+    ceiling, not corpus size N: ln(N/df) needs a data-dependent
+    literal (N differs per scale factor and would force a pre-count
+    into plan build), while ln(cap/df) is corpus-size independent —
+    terms at or beyond the cap are "everywhere" and score 0; within
+    the cap the two differ by the per-corpus constant ln(N/cap),
+    which is invariant across a document's terms only in the additive
+    sense, so rankings differ from textbook tf-idf exactly where df
+    saturates — the regime where both agree the term is noise.
+
+    Top ``top_m`` per doc by (score DESC, term ASC) row_number — the
+    ``quality_percentile`` determinism rule (ties are common: every
+    zero-score term ties).  Docs whose normalized text is empty have
+    no terms and are absent.
+
+    Columns: (doc_id, term, tf, df, tfidf_u, kw_rank).
+
+    100 TB posture: two hash aggregates (doc-term tf, then term df —
+    the df input is already one row per (doc, term), so the df count
+    needs no countDistinct) + an AQE-splittable equi-join + a per-doc
+    window bounded by the doc's distinct-term count.  The micronat
+    table is a foldable literal riding the join projection."""
+    table = log_df_micronats(cap)
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(normalize_text(text_col), " ").alias("_toks"),
+        )
+        .select("_id", F.explode_outer("_toks").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_u = F.lit(table[cap - 1]) - F.element_at(
+        F.lit(table), F.least(F.col("df"), F.lit(cap)).cast("int")
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf_u", (F.col("tf") * idf_u).cast("long")
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf_u"), F.asc("term"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= top_m)
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df", "tfidf_u", "kw_rank"
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style cross-document line deduplication (Wenzek et al.
+    2020): drop every line whose trimmed content appears in at least
+    ``min_df`` DISTINCT documents — the shared headers / footers /
+    cookie banners that survive per-document dedup because each doc
+    is otherwise unique.  Within-doc repetition is NOT this operator's
+    job (``gopher_repetition_rules`` gates that); a line repeated 50×
+    inside one doc has df=1 here.
+
+    Lines split on ``\\n`` with positions preserved; the match key is
+    ``trim(line)`` (both engines trim ASCII spaces only, so CRLF
+    residue behaves identically); empty-trim lines are separators,
+    never dropped, and never counted in the drop set.  ``clean_text``
+    reassembles the KEPT lines' original (untrimmed) text in document
+    order; a doc that is entirely boilerplate keeps its row with
+    ``clean_text = ''`` (disclosed, not silently vanished).
+
+    Columns: (doc_id, n_lines, n_dropped, clean_text).
+
+    100 TB posture: posexplode is linear; the drop-set build is one
+    hash aggregate over (doc, key) distinct pairs then a key count
+    (map-side combined); the mark join is an equi-join on the line
+    key — AQE broadcasts it when the boilerplate set is small (the
+    common case: drop-set cardinality « line cardinality) and splits
+    hot keys (the "Home" line) otherwise; reassembly is one shuffle
+    back to doc_id.  CCNet runs this per shard — compose by filtering
+    to a source/snapshot before calling for shard-scoped semantics."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).withColumn("_k", F.trim(F.col("line")))
+    drops = (
+        ex.filter(F.col("_k") != "")
+        .select("_id", "_k")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_k", F.lit(True).alias("_drop"))
+    )
+    return (
+        ex.join(drops, "_k", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_drop").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(F.col("_id").alias(id_col), "n_lines", "n_dropped", "clean_text")
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     k: int = 3,

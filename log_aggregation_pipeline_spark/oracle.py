@@ -770,6 +770,71 @@ FROM r
 """
 
 
+def tfidf_keywords_sql(top_m: int, micronats: list[int]) -> str:
+    """Twin of text_analysis.tfidf_keywords: same normalized
+    whitespace tokenization, tf then df hash aggregates (df counts
+    rows of the already-distinct (doc, term) tf relation), the SAME
+    micronat table literal, integer score, row_number with the
+    identical (score DESC, term) order."""
+    cap = len(micronats)
+    table = "[" + ", ".join(str(v) for v in micronats) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         cast(tf.tf * ({micronats[cap - 1]} - {table}[least(df, {cap})])
+              AS BIGINT) AS tfidf_u
+  FROM tf JOIN dfreq USING (term)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_u DESC, term
+  ) AS kw_rank FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf_u, kw_rank FROM r WHERE kw_rank <= {top_m}
+"""
+
+
+def line_dedup_sql(min_df: int) -> str:
+    """Twin of text_analysis.line_dedup: positions via a struct list
+    comprehension (DuckDB's unnest has no ordinality), trim-keyed
+    distinct-doc counts, ordered string_agg reassembly (skips the
+    dropped lines' NULLs exactly as collect_list does)."""
+    return f"""
+WITH lx AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'line': l[i]}} for i in range(1, len(l) + 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)
+),
+lines AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line, trim(s.line) AS k FROM lx
+),
+drops AS (
+  SELECT k FROM lines WHERE k <> ''
+  GROUP BY k HAVING count(DISTINCT doc_id) >= {min_df}
+),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line, d.k IS NOT NULL AS dropped
+  FROM lines l LEFT JOIN drops d ON l.k = d.k
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       cast(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(
+         string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos),
+         ''
+       ) AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
+
 def training_pairs_sql(
     prompt_role: str = "user",
     response_role: str = "assistant",

@@ -339,6 +339,70 @@ def test_ngram_logppl_fixed_point(spark):
     assert TA.log_df_micronats(3) == [0, ln2, ln3]
 
 
+def test_tfidf_keywords_fixed_point(spark):
+    """Hand-computed capped-idf scores: idf_u = ln(1024) - ln(df) in
+    micronats from the shared table; rank by (score DESC, term)."""
+    import math
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "apple cherry"),
+        (3, "banana banana banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = TA.tfidf_keywords(df, top_m=5).collect()
+    ln_cap, ln2 = round(1e6 * math.log(1024)), round(1e6 * math.log(2))
+    idf2, idf1 = ln_cap - ln2, ln_cap  # df=2 / df=1
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.kw_rank)
+    assert [(r.term, r.tf, r.df, r.tfidf_u) for r in d1] == [
+        ("apple", 2, 2, 2 * idf2), ("banana", 1, 2, idf2),
+    ]
+    d2 = sorted(by_doc[2], key=lambda r: r.kw_rank)
+    # the corpus-unique term outranks the shared one despite equal tf
+    assert [(r.term, r.tfidf_u) for r in d2] == [
+        ("cherry", idf1), ("apple", idf2),
+    ]
+    assert [(r.term, r.tfidf_u) for r in by_doc[3]] == [("banana", 3 * idf2)]
+    # top_m clamps per doc
+    top1 = TA.tfidf_keywords(df, top_m=1).collect()
+    assert {(r.doc_id, r.term) for r in top1} == {
+        (1, "apple"), (2, "cherry"), (3, "banana"),
+    }
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    """CCNet semantics on a planted-boilerplate corpus: cross-doc
+    repeated lines drop (trim-keyed, original text kept for survivors),
+    empty lines are separators, within-doc repetition is untouched,
+    an all-boilerplate doc keeps its row with empty clean_text."""
+    rows = [
+        (1, "SITE HEADER\ncontent one\nSITE FOOTER"),
+        (2, "SITE HEADER\ncontent two unique\nSITE FOOTER"),
+        (3, "standalone content only"),
+        (4, "  SITE HEADER  \nmore text"),     # trimmed key matches
+        (5, "a\n\nb"),                          # empty line kept
+        (6, "SITE HEADER"),                     # fully boilerplate
+        (7, "same line\nsame line\nsame line"), # within-doc only: df=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TA.line_dedup(df, min_df=2).collect()}
+    assert (got[1].n_lines, got[1].n_dropped, got[1].clean_text) == (
+        3, 2, "content one")
+    assert got[2].clean_text == "content two unique"
+    assert (got[3].n_lines, got[3].n_dropped, got[3].clean_text) == (
+        1, 0, "standalone content only")
+    assert (got[4].n_lines, got[4].n_dropped, got[4].clean_text) == (
+        2, 1, "more text")
+    assert (got[5].n_lines, got[5].n_dropped, got[5].clean_text) == (
+        3, 0, "a\n\nb")
+    assert (got[6].n_lines, got[6].n_dropped, got[6].clean_text) == (1, 1, "")
+    assert (got[7].n_lines, got[7].n_dropped, got[7].clean_text) == (
+        3, 0, "same line\nsame line\nsame line")
+
+
 def test_strip_markup(spark):
     rows = [
         (1, '<div class="a"><p>Hello &amp; <b>world</b></p>'
