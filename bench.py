@@ -361,6 +361,15 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         )
 
         timed("doc_ngram_novelty", lambda: noop(ngram_novelty(docs)))
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            line_dedup,
+            ngram_logppl,
+            tfidf_keywords,
+        )
+
+        timed("doc_ngram_logppl", lambda: noop(ngram_logppl(docs)))
+        timed("doc_tfidf_keywords", lambda: noop(tfidf_keywords(docs)))
+        timed("doc_line_dedup", lambda: noop(line_dedup(docs)))
         from log_aggregation_pipeline_spark.operators.sampling import (
             corpus_mix,
         )
