@@ -64,6 +64,7 @@ from log_aggregation_pipeline_spark.sources.transcripts import (
 JACCARD_K, JACCARD_T = 3, 0.4
 SHINGLE_CAP = 1000  # stop-shingle frequency cap (scale guardrail)
 NOVELTY_RARE_DF, NOVELTY_COMMON_DF = 2, 20  # ngram_novelty df thresholds
+SUBSTR_DEDUP_K = 5  # substring_dedup duplicated-span gram size
 # incremental dedup: docs below the split are the existing corpus,
 # at/above are the new batch; clone params build the deterministic
 # duplicate injections both engines derive from doc_id
@@ -677,6 +678,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_line_dedup"] = lambda s, d: text_analysis.line_dedup(
         _docs(s, d), min_df=2
     )
+    # span-level exact dedup (Lee et al. 2022): duplicated 5-gram
+    # occurrences cut everywhere but the min-doc canonical copy —
+    # the word-soup corpus DOES repeat 5-grams across docs, so the
+    # drop path is live at every scale factor
+    q["doc_substring_dedup"] = lambda s, d: text_analysis.substring_dedup(
+        _docs(s, d), k=SUBSTR_DEDUP_K
+    )
     q["emb_rp_project"] = lambda s, d: similarity.rp_project(
         _emb(s, d), in_dim=64, out_dim=8
     )
@@ -1116,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         5, text_analysis.log_df_micronats()
     )
     o["doc_line_dedup"] = oracle.line_dedup_sql(2)
+    o["doc_substring_dedup"] = oracle.substring_dedup_sql(SUBSTR_DEDUP_K)
     o["emb_rp_project"] = oracle.rp_project_sql(
         similarity._hyperplanes(64, 8, 13), out_dim=8
     )

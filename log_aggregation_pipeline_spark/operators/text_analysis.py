@@ -985,6 +985,141 @@ def line_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") — the
+    span-level sibling of ``line_dedup``: cut every token span that is
+    an exact k-token duplicate of text in ANOTHER document, keeping
+    one canonical copy corpus-wide.  Catches the quote/chain-letter/
+    license-block duplication that document-level dedup misses (the
+    docs differ) and line-level dedup misses (the span crosses or
+    sits inside lines).
+
+    Semantics (deterministic, both engines):
+
+    - tokens = split of the normalized text (``dedupe.normalize_text``
+      — the corpus-wide key discipline); docs whose normalized text is
+      empty are absent (the tfidf convention).
+    - a k-gram is DUPLICATED iff it occurs in >= 2 distinct documents;
+      its canonical holder is the min doc_id containing it.  Within-doc
+      repetition is NOT this operator's job (df=1 here) —
+      ``gopher_repetition_rules`` gates that, the ``line_dedup``
+      scoping rule.
+    - in every non-canonical doc, all token positions covered by any
+      duplicated k-gram occurrence are removed; overlapping/adjacent
+      covered ranges merge into spans.  The canonical doc keeps its
+      copy untouched — "all but one occurrence" with a deterministic
+      survivor, no order-of-processing dependence.
+    - ``clean_text`` is the kept tokens of the NORMALIZED text joined
+      with single spaces (normalization is the match key, so the
+      reassembly is in key space; disclosed, not hidden).
+
+    Columns: (doc_id, n_tokens, n_dup_tokens, n_spans, clean_text) —
+    a doc that is entirely duplicated text keeps its row with
+    ``clean_text = ''`` (disclosed, the line_dedup rule).
+
+    100 TB posture: gram generation is a per-row HOF projection
+    (materialized token array — the shingles_from_tokens perf rule);
+    the gram table build is one hash aggregate on the gram (count
+    DISTINCT doc + min doc, two-phase, map-side partial); the dup-mark
+    is an AQE-splittable equi-join on the gram (hot boilerplate grams
+    are exactly the skewed-key case — a join splits, a window would
+    not: the ngram_novelty rule); covered-position expansion is
+    bounded by k x dup-occurrences (dup spans only, not the corpus);
+    reassembly is one shuffle back to the doc id.  Span counting
+    rides the covered-position frame as a lag window bounded by doc
+    length.  Nothing is collected; no all-pairs stage exists —
+    candidate volume is linear in dup-gram occurrences."""
+    from log_aggregation_pipeline_spark.operators.dedupe import normalize_text
+
+    base = df.select(
+        F.col(id_col).alias("_id"), normalize_text(text_col).alias("_norm")
+    ).filter(F.col("_norm") != "")
+    arr = base.select("_id", F.split("_norm", " ").alias("_t"))
+    toks = arr.select(
+        "_id", F.posexplode("_t").alias("_p0", "term")
+    ).select("_id", (F.col("_p0") + 1).alias("pos"), "term")
+    # guard BEFORE sequence: F.sequence(1, 0) DESCENDS (repo gotcha)
+    grams = (
+        arr.filter(F.size("_t") >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(
+                            " ", F.slice("_t", i.cast("int"), k)
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("_s"),
+        )
+        .select("_id", F.col("_s.start").alias("start"), F.col("_s.g").alias("g"))
+    )
+    gfreq = grams.groupBy("g").agg(
+        F.countDistinct("_id").alias("_gdf"), F.min("_id").alias("_canon")
+    )
+    dup = (
+        grams.join(gfreq, "g")
+        .filter((F.col("_gdf") >= 2) & (F.col("_id") != F.col("_canon")))
+        .select("_id", "start")
+    )
+    cov = dup.select(
+        "_id",
+        F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    w = Window.partitionBy("_id").orderBy("pos")
+    # NULL lag (first covered pos) falls to otherwise() = 1 — the same
+    # three-valued fall-through as the oracle's CASE WHEN lag = pos-1
+    cov2 = cov.withColumn(
+        "_new",
+        F.when(F.lag("pos").over(w) == F.col("pos") - 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    return (
+        toks.join(cov2, ["_id", "pos"], "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_new").isNotNull(), 1).otherwise(0)
+            ).alias("n_dup_tokens"),
+            F.sum(F.coalesce(F.col("_new"), F.lit(0))).alias("n_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_new").isNull(),
+                                F.struct("pos", "term"),
+                            )
+                        )
+                    ),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.col("n_dup_tokens").cast("long").alias("n_dup_tokens"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            "clean_text",
+        )
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     k: int = 3,

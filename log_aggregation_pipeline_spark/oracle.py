@@ -835,6 +835,66 @@ FROM marked GROUP BY doc_id
 """
 
 
+def substring_dedup_sql(k: int) -> str:
+    """Twin of text_analysis.substring_dedup: positions via struct-list
+    comprehensions (the line_dedup technique), gram df = count DISTINCT
+    doc + min-doc canonical, covered positions from a literal offset
+    list, islands via the same NULL-falls-to-1 lag CASE, ordered
+    string_agg reassembly over the kept tokens."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    offsets = "[" + ", ".join(str(j) for j in range(k)) + "]"
+    return f"""
+WITH arr AS (
+  SELECT doc_id, string_split(norm, ' ') AS t
+  FROM (SELECT doc_id, {NORM_SQL} AS norm FROM documents)
+  WHERE norm <> ''
+),
+tok AS (
+  SELECT doc_id, s.pos AS pos, s.term AS term FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i, 'term': t[i]}} for i in range(1, len(t) + 1)]) AS s
+    FROM arr)
+),
+g2 AS (
+  SELECT doc_id, s.start AS start, s.g AS g FROM (
+    SELECT doc_id,
+           unnest([{{'start': i, 'g': {gram}}}
+                   for i in range(1, len(t) - {k - 2})]) AS s
+    FROM arr WHERE len(t) >= {k})
+),
+gfreq AS (
+  SELECT g, count(DISTINCT doc_id) AS gdf, min(doc_id) AS canon
+  FROM g2 GROUP BY g
+),
+dup AS (
+  SELECT g2.doc_id, g2.start FROM g2 JOIN gfreq USING (g)
+  WHERE gdf >= 2 AND g2.doc_id <> canon
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, start + unnest({offsets}) AS pos FROM dup)
+),
+cov2 AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = pos - 1
+              THEN 0 ELSE 1 END AS new_span
+  FROM cov
+)
+SELECT t.doc_id AS doc_id,
+       count(*) AS n_tokens,
+       cast(sum(CASE WHEN c.new_span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_tokens,
+       cast(sum(coalesce(c.new_span, 0)) AS BIGINT) AS n_spans,
+       coalesce(
+         string_agg(CASE WHEN c.new_span IS NULL THEN t.term END, ' '
+                    ORDER BY t.pos),
+         ''
+       ) AS clean_text
+FROM tok t LEFT JOIN cov2 c ON t.doc_id = c.doc_id AND t.pos = c.pos
+GROUP BY t.doc_id
+"""
+
+
 def training_pairs_sql(
     prompt_role: str = "user",
     response_role: str = "assistant",

@@ -403,6 +403,44 @@ def test_line_dedup_planted_boilerplate(spark):
         3, 0, "same line\nsame line\nsame line")
 
 
+def test_substring_dedup_planted_spans(spark):
+    """Lee-et-al span dedup on a planted corpus (k=3): duplicated
+    k-grams cut everywhere but the min-doc canonical copy, overlapping
+    coverage merges into one span, disjoint coverage counts two,
+    within-doc repetition (gram df=1) is untouched, normalization is
+    the match key, sub-k docs and the canonical doc survive whole,
+    an empty-norm doc is absent."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),   # canonical (min id)
+        (2, "x alpha beta gamma y"),             # one interior span
+        (3, "alpha beta gamma delta unique"),    # two grams overlap -> 1 span
+        (4, "p q r p q r p q r"),                # within-doc only: df=1
+        (5, "ALPHA  Beta gamma"),                # norm matches -> all cut
+        (6, "   "),                              # empty norm -> absent
+        (7, "alpha beta gamma mid1 mid2 mid3 delta epsilon zeta"),
+        (8, "delta epsilon zeta tail"),          # canon of d-e-z is doc 7
+        (9, "alpha beta gamma filler delta epsilon zeta"),  # 2 spans
+        (10, "short one"),                       # < k tokens: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TA.substring_dedup(df, k=3).collect()}
+    assert 6 not in got and len(got) == 9
+
+    def quad(r):
+        return (r.n_tokens, r.n_dup_tokens, r.n_spans, r.clean_text)
+
+    assert quad(got[1]) == (5, 0, 0, "alpha beta gamma delta epsilon")
+    assert quad(got[2]) == (5, 3, 1, "x y")
+    assert quad(got[3]) == (5, 4, 1, "unique")
+    assert quad(got[4]) == (9, 0, 0, "p q r p q r p q r")
+    assert quad(got[5]) == (3, 3, 1, "")
+    # doc 7 keeps "delta epsilon zeta" (it IS the canon, min(7,8,9)=7)
+    assert quad(got[7]) == (9, 3, 1, "mid1 mid2 mid3 delta epsilon zeta")
+    assert quad(got[8]) == (4, 3, 1, "tail")
+    assert quad(got[9]) == (7, 6, 2, "filler")
+    assert quad(got[10]) == (2, 0, 0, "short one")
+
+
 def test_strip_markup(spark):
     rows = [
         (1, '<div class="a"><p>Hello &amp; <b>world</b></p>'
