@@ -784,6 +784,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select(
         F.col("doc_id").alias("vec_id"), "cluster_rep", "cluster_size"
     )
+    # SemDeDup: same threshold as the exact pair scan, pairs scoped to
+    # k-means clusters (the published embedding-dedup scale path);
+    # centroids re-derived through the shared pandas core both sides
+    def _semdedup(s, d):
+        emb = _emb(s, d)
+        cent = similarity.train_ivf_centroids(emb, n_centroids=8)
+        return dedupe.semdedup_pairs(emb, cent, threshold=EMB_NEAR_T)
+
+    q["emb_semdedup_pairs"] = _semdedup
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_topk(
         _emb(s, d), _query_vec(s, d), k=ANN_K
     )
@@ -1183,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
     # entries (driver records rows-only for them), never the whole map.
     for name, build in (
         ("ann_ivf_topk", _ivf_oracle_sql),
+        ("emb_semdedup_pairs", _semdedup_oracle_sql),
         ("doc_simhash_pairs", _simhash_oracle_sql),
     ):
         try:
@@ -1210,6 +1220,19 @@ def _ivf_oracle_sql() -> str:
     qv = [float(x) for x in pdf.loc[pdf.vec_id == ANN_QUERY_VEC, "embedding"].iloc[0]]
     probes = similarity.ivf_probes(qv, cent, nprobe=4)
     return oracle.ivf_topk_sql(cent, probes, ANN_QUERY_VEC, ANN_K)
+
+
+def _semdedup_oracle_sql() -> str:
+    import os
+
+    import pandas as pd
+
+    sfd = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    pdf = pd.read_parquet(
+        f"{sfd}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = similarity.train_ivf_centroids_from_pandas(pdf, n_centroids=8)
+    return oracle.semdedup_pairs_sql(cent, EMB_NEAR_T)
 
 
 def _simhash_oracle_sql() -> str:

@@ -364,12 +364,14 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         from log_aggregation_pipeline_spark.operators.text_analysis import (
             line_dedup,
             ngram_logppl,
+            substring_dedup,
             tfidf_keywords,
         )
 
         timed("doc_ngram_logppl", lambda: noop(ngram_logppl(docs)))
         timed("doc_tfidf_keywords", lambda: noop(tfidf_keywords(docs)))
         timed("doc_line_dedup", lambda: noop(line_dedup(docs)))
+        timed("doc_substring_dedup", lambda: noop(substring_dedup(docs, k=5)))
         from log_aggregation_pipeline_spark.operators.sampling import (
             corpus_mix,
         )
@@ -856,7 +858,15 @@ def main() -> None:
         print(json.dumps(run_scaling(args.sf_dir)))
     else:
         report = run_bench(args.sf_dir, args.cores, args.pipeline_only)
-        path = write_verbose(report)
+        # pipeline-only (smoke) runs get their own verbose file so a
+        # quick check can never clobber the round's full-suite record
+        path = write_verbose(
+            report,
+            path=(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH", "local_last_pipeline_only.json",
+            ) if args.pipeline_only else None),
+        )
         print(f"[bench] verbose record: {path}", file=sys.stderr)
         print(contract_line(report))
 

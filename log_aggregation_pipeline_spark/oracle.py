@@ -1471,6 +1471,33 @@ LIMIT {k}
 """
 
 
+def semdedup_pairs_sql(centroids, threshold: float) -> str:
+    """Independent DuckDB twin of dedupe.semdedup_pairs: centroids are
+    deterministic given the data (seeded k-means over the lowest-id
+    sample, recomputed by the CALLER via the shared pandas core and
+    passed in as literals — the ivf_topk_sql discipline); DuckDB then
+    independently re-derives each row's cluster as argmax of centroid
+    dot products (list_position of list_max = first max, the same
+    tie-break as Spark's array_position/array_max) and emits the
+    same-cluster pairs at the 6dp-rounded cosine threshold."""
+    dots = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + "])"
+        for c in centroids
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id, v,
+             list_position(dl, list_max(dl)) - 1 AS cluster
+      FROM (SELECT vec_id, v, [{dots}] AS dl FROM d))
+SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.cluster AS cluster,
+       round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+"""
+
+
 def media_features_sql() -> str:
     """Oracle for the byte-level media features: the fake media payload
     is exactly the UTF-8 bytes of documents.text, so n_bytes/sig are

@@ -371,3 +371,33 @@ def test_incremental_minhash_cross_equals_exact_cross(sf_docs):
             expected[(lo, hi)] = j
     assert got == expected
     assert all(s < split <= n for s, n in got)
+
+
+def test_semdedup_pairs_is_cluster_scoped_exact(sf_emb):
+    """SemDeDup = the exact pair scan restricted to same-cluster pairs
+    (the approximation IS the cluster scoping): every emitted pair is
+    an exact near-dup pair with both ends assigned to the emitted
+    cluster, cosines bit-match the exact scan, and the pair set equals
+    the exact set minus cross-cluster pairs."""
+    cent = S.train_ivf_centroids(sf_emb, n_centroids=8)
+    sem = {(r.a_id, r.b_id): (r.cluster, r.cosine)
+           for r in D.semdedup_pairs(sf_emb, cent, threshold=0.3).collect()}
+    exact = {(r.a_id, r.b_id): r.cosine
+             for r in D.embedding_near_dup_pairs(
+                 sf_emb, threshold=0.3).collect()}
+    assert set(sem) <= set(exact)
+    assert all(cos == exact[p] for p, (_, cos) in sem.items())
+    # independent assignment: numpy argmax over the same centroids
+    import numpy as np
+    import pandas as pd
+
+    pdf = sf_emb.toPandas()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assign = dict(zip(pdf["vec_id"], (m @ cent.T).argmax(axis=1)))
+    same_cluster = {p for p in exact if assign[p[0]] == assign[p[1]]}
+    assert set(sem) == same_cluster
+    assert all(assign[a] == c == assign[b] for (a, b), (c, _) in sem.items())
+    # the scoping must actually bite on this corpus (cross-cluster
+    # pairs exist), else the test proves nothing
+    assert len(sem) < len(exact)
