@@ -79,6 +79,7 @@ SAMPLE_FRAC, SAMPLE_IDS = 0.1, ["conv_id", "turn_idx"]
 MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}
 MIX_TOKEN_BUDGET = 2000
 EMB_NEAR_T = 0.3
+SEM_DECONTAM_T = 0.3  # semantic-decontam max-cosine flag threshold
 ANN_QUERY_VEC, ANN_K = 0, 10
 SEARCH_Q = SearchQuery(
     query="code=e",
@@ -793,6 +794,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedupe.semdedup_pairs(emb, cent, threshold=EMB_NEAR_T)
 
     q["emb_semdedup_pairs"] = _semdedup
+
+    # SemDeDup endgame: the paper's farthest-from-centroid keep rule
+    # per duplicate group (opposite election from cluster_keepers)
+    def _semdedup_keep(s, d):
+        emb = _emb(s, d)
+        cent = similarity.train_ivf_centroids(emb, n_centroids=8)
+        return dedupe.semdedup_keep(emb, cent, threshold=EMB_NEAR_T)
+
+    q["emb_semdedup_keep"] = _semdedup_keep
+
+    # semantic decontam: the paraphrase-leak complement of
+    # doc_decontaminate — eval slice via the shared md5-rank split,
+    # eval vectors ride the closure as literals (bounded eval side),
+    # scoring is a pure projection over the train scan
+    def _sem_decontam(s, d):
+        emb = _emb(s, d)
+        ev = decontam.eval_split(emb, N_EVAL, id_col="vec_id")
+        ev_rows = [
+            (r["vec_id"], list(r["_ve"]))
+            for r in ev.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("_ve")
+            ).collect()
+        ]
+        train = emb.join(ev.select("vec_id"), "vec_id", "left_anti")
+        return decontam.semantic_contaminated(
+            train, ev_rows, threshold=SEM_DECONTAM_T
+        )
+
+    q["emb_semantic_decontam"] = _sem_decontam
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_topk(
         _emb(s, d), _query_vec(s, d), k=ANN_K
     )
@@ -1077,6 +1107,9 @@ def oracle_sql() -> dict[str, str]:
         JACCARD_K, JACCARD_T, INCR_SPLIT
     )
     o["doc_decontaminate"] = oracle.decontaminate_sql(DECONTAM_K, N_EVAL)
+    o["emb_semantic_decontam"] = oracle.semantic_contaminated_sql(
+        N_EVAL, SEM_DECONTAM_T
+    )
     o["eval_contamination_report"] = oracle.eval_contamination_report_sql(
         DECONTAM_K, N_EVAL
     )
@@ -1193,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
     for name, build in (
         ("ann_ivf_topk", _ivf_oracle_sql),
         ("emb_semdedup_pairs", _semdedup_oracle_sql),
+        ("emb_semdedup_keep", _semdedup_keep_oracle_sql),
         ("doc_simhash_pairs", _simhash_oracle_sql),
     ):
         try:
@@ -1233,6 +1267,19 @@ def _semdedup_oracle_sql() -> str:
     )
     cent = similarity.train_ivf_centroids_from_pandas(pdf, n_centroids=8)
     return oracle.semdedup_pairs_sql(cent, EMB_NEAR_T)
+
+
+def _semdedup_keep_oracle_sql() -> str:
+    import os
+
+    import pandas as pd
+
+    sfd = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    pdf = pd.read_parquet(
+        f"{sfd}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = similarity.train_ivf_centroids_from_pandas(pdf, n_centroids=8)
+    return oracle.semdedup_keep_sql(cent, EMB_NEAR_T)
 
 
 def _simhash_oracle_sql() -> str:

@@ -131,3 +131,66 @@ def decontaminate(
         train, eval_df, k, min_overlap, text_col, id_col
     ).select(id_col)
     return train.join(flagged, id_col, "left_anti")
+
+
+def semantic_contaminated(
+    train: DataFrame,
+    eval_vectors: list[tuple[int, list[float]]],
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic (embedding-space) eval-set decontamination: flag train
+    vectors whose max cosine against ANY eval item reaches
+    ``threshold`` — the paraphrase-leak complement of the exact
+    n-gram pass above (``contaminated_docs`` catches verbatim spans;
+    a reworded benchmark item shares no 13-gram but sits next to the
+    original in embedding space).
+
+    Output: (vec_id, nearest_eval_id, max_cosine) for flagged rows —
+    nearest = highest 6dp-rounded cosine, ties to the LOWEST eval id
+    (rounding BEFORE the argmax so both engines break the same ties
+    the same way).
+
+    ``eval_vectors`` is a driver-side materialized list [(eval_id,
+    vector)] — eval sets are bounded (the module-docstring scale
+    argument: benchmarks are 10^4-10^6 items, the corpus is the
+    100 TB), so the eval side rides the closure as LITERALS and the
+    scoring is a pure projection over the train scan: per-row work is
+    n_eval dot folds, zero joins, zero shuffles, nothing broadcast at
+    runtime.  This literal form is right up to ~10^2-10^3 eval items
+    (codegen expression size bounds it); past that, switch the eval
+    side to an explicit ``F.broadcast`` cross join — the same
+    per-row arithmetic executed through a build-side hash relation
+    instead of the expression tree."""
+    from .similarity import dot_expr, norm_expr
+
+    import numpy as np
+
+    vec = F.col(vec_col).cast("array<double>")
+    base = train.select(F.col(id_col), vec.alias("_v")).withColumn(
+        "_n", norm_expr("_v")
+    )
+    scored = []
+    for eid, ve in eval_vectors:
+        v = np.asarray(ve, dtype=np.float64)
+        lit = F.array(*[F.lit(float(x)).cast("double") for x in v])
+        cos = dot_expr(F.col("_v"), lit) / (
+            F.col("_n") * F.lit(float(np.linalg.norm(v)))
+        )
+        scored.append(
+            F.struct(
+                F.round(cos, 6).alias("c"),
+                F.lit(-int(eid)).cast("long").alias("nid"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return (
+        base.withColumn("_best", best)
+        .filter(F.col("_best.c") >= threshold)
+        .select(
+            id_col,
+            (-F.col("_best.nid")).alias("nearest_eval_id"),
+            F.col("_best.c").alias("max_cosine"),
+        )
+    )

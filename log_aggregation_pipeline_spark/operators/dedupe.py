@@ -711,6 +711,17 @@ def semdedup_pairs(
     the assignment can be written ``partitionBy(cluster)`` (see
     ``similarity.ivf_write``) making this join co-located and
     shuffle-free on the big side."""
+    base = _semdedup_base(df, centroids, vec_col, id_col)
+    return _semdedup_pairs_from_base(base, threshold)
+
+
+def _semdedup_base(
+    df: DataFrame, centroids, vec_col: str, id_col: str
+) -> DataFrame:
+    """Shared assignment projection: (_id, _v, _n, cluster, _ccos)
+    where _ccos is the 6dp-rounded cosine to the ASSIGNED centroid —
+    free given the dot array (centroids are unit vectors, so it is
+    array_max(dl)/|v|)."""
     from .similarity import dot_expr, norm_expr
 
     vec = F.col(vec_col).cast("array<double>")
@@ -723,7 +734,7 @@ def semdedup_pairs(
             for c in centroids
         ]
     )
-    base = (
+    return (
         df.select(F.col(id_col).alias("_id"), vec.alias("_v"))
         .withColumn("_n", norm_expr("_v"))
         .withColumn("_dl", dl)
@@ -731,10 +742,18 @@ def semdedup_pairs(
             "cluster",
             (F.array_position("_dl", F.array_max("_dl")) - 1).cast("int"),
         )
-        .select("_id", "_v", "_n", "cluster")
+        .withColumn("_ccos", F.round(F.array_max("_dl") / F.col("_n"), 6))
+        .select("_id", "_v", "_n", "cluster", "_ccos")
     )
-    a = base.withColumnsRenamed({"_id": "a_id", "_v": "_va", "_n": "_na"})
-    b = base.withColumnsRenamed({"_id": "b_id", "_v": "_vb", "_n": "_nb"})
+
+
+def _semdedup_pairs_from_base(base: DataFrame, threshold: float) -> DataFrame:
+    from .similarity import dot_expr
+
+    a = base.select("cluster", F.col("_id").alias("a_id"),
+                    F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select("cluster", F.col("_id").alias("b_id"),
+                    F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     cosine = dot_expr("_va", "_vb") / (F.col("_na") * F.col("_nb"))
     return (
         a.join(b, ["cluster"])
@@ -742,4 +761,52 @@ def semdedup_pairs(
         .withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cluster", "cosine")
+    )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup endgame — the paper's keep rule: within each duplicate
+    GROUP (connected component of ``semdedup_pairs`` edges; components
+    cannot span clusters since edges never do), keep exactly the
+    member with the LOWEST cosine to its cluster centroid (ties to
+    the min id) — survivors are biased toward cluster-atypical
+    examples, the opposite election from ``cluster_keepers``'s
+    quality-argmax, which is why this is its own operator.
+
+    Output: one row per GROUPED member — (vec_id, group_rep,
+    group_size, centroid_cos, keep); unpaired vectors are absent (the
+    pair-family convention — they are all trivially kept).
+
+    100 TB posture: assignment + centroid cosine ride the scan
+    (projection-only, shared with the pair stage); grouping is the
+    pointer-jumping CC (O(V) state per round); the election is one
+    row_number window partitioned by group — group sizes are bounded
+    by cluster sizes, so no unsplittable hot partition beyond what the
+    pair stage already tolerates."""
+    from .cluster import dup_clusters
+
+    base = _semdedup_base(df, centroids, vec_col, id_col)
+    pairs = _semdedup_pairs_from_base(base, threshold)
+    groups = dup_clusters(pairs, "a_id", "b_id")
+    members = groups.join(
+        base.select(F.col("_id").alias("doc_id"), F.col("_ccos")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("_ccos").asc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("cluster_rep").alias("group_rep"),
+            F.col("cluster_size").alias("group_size"),
+            F.col("_ccos").alias("centroid_cos"),
+            (F.col("_rn") == 1).alias("keep"),
+        )
     )

@@ -1498,6 +1498,65 @@ WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
 """
 
 
+def semantic_contaminated_sql(n_eval: int, threshold: float) -> str:
+    """Independent twin of decontam.semantic_contaminated: the eval
+    slice re-derived via the shared md5-rank idiom (the eval_ids CTE
+    verbatim, on vec_id), train = the anti-joined remainder, scoring
+    as an explicit cross join + row_number argmax — rounding before
+    the ordering, ties to the lowest eval id, matching Spark's
+    struct array_max on (round(cos,6), -eval_id)."""
+    return f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ve FROM embeddings
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {n_eval}
+),
+tr AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id NOT IN (SELECT eval_id FROM ev)
+),
+s AS (
+  SELECT tr.vec_id, ev.eval_id,
+         round(list_cosine_similarity(v, ve), 6) AS cos
+  FROM tr CROSS JOIN ev
+)
+SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cosine
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn FROM s)
+WHERE rn = 1 AND cos >= {threshold}
+"""
+
+
+def semdedup_keep_sql(centroids, threshold: float) -> str:
+    """Twin of dedupe.semdedup_keep: groups from the recursive-CTE
+    component query over the semdedup pair twin, per-vector centroid
+    cosine re-derived as list_max(dl)/sqrt(dot(v,v)) (centroids are
+    unit vectors), election = row_number over (centroid_cos ASC,
+    id ASC) — the paper's farthest-from-centroid keep rule."""
+    dots = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + "])"
+        for c in centroids
+    )
+    return f"""
+WITH clusters AS (SELECT * FROM ({dup_clusters_sql(semdedup_pairs_sql(centroids, threshold))})),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cc AS (SELECT vec_id,
+              round(list_max(dl) / sqrt(list_dot_product(v, v)), 6) AS ccos
+       FROM (SELECT vec_id, v, [{dots}] AS dl FROM d)),
+ranked AS (
+  SELECT c.doc_id, c.cluster_rep, c.cluster_size, cc.ccos,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY cc.ccos ASC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN cc ON cc.vec_id = c.doc_id
+)
+SELECT doc_id AS vec_id, cluster_rep AS group_rep,
+       cluster_size AS group_size, ccos AS centroid_cos,
+       rn = 1 AS keep
+FROM ranked
+"""
+
+
 def media_features_sql() -> str:
     """Oracle for the byte-level media features: the fake media payload
     is exactly the UTF-8 bytes of documents.text, so n_bytes/sig are

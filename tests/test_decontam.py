@@ -89,3 +89,35 @@ def test_k13_profile_short_doc_exemption(spark):
         for r in contaminated_docs(train, ev, k=GPT3_K).collect()
     }
     assert got == {1: 1}
+
+
+def test_semantic_contaminated_planted(spark):
+    """Embedding-space decontam on planted vectors: a near-copy of an
+    eval item flags with the right nearest id, an orthogonal vector
+    does not, a vector equidistant from two eval items (cosines equal
+    at 6dp) resolves nearest to the LOWEST eval id, and sub-threshold
+    similarity stays unflagged."""
+    from log_aggregation_pipeline_spark.operators.decontam import (
+        semantic_contaminated,
+    )
+
+    d = 8
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(d)]
+    evals = [(100, e(0)), (101, e(1))]
+    rows = [
+        (1, [0.99, 0.01] + [0.0] * (d - 2)),            # ~e0
+        (2, e(2)),                                       # orthogonal to both
+        (3, [0.70710678, 0.70710678] + [0.0] * (d - 2)), # exact tie e0/e1
+        (4, [0.2, 0.1] + [0.0] * (d - 2)),               # cos ~0.894 -> also hits
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           semantic_contaminated(df, evals, threshold=0.5).collect()}
+    assert got[1].nearest_eval_id == 100 and got[1].max_cosine > 0.99
+    assert 2 not in got
+    assert got[3].nearest_eval_id == 100 and got[3].max_cosine == 0.707107
+    assert got[4].nearest_eval_id == 100  # cos = 0.2/sqrt(0.05) ~ 0.894
+    # threshold bites: raise it above the tie and near-hit cosines
+    got2 = {r.vec_id for r in
+            semantic_contaminated(df, evals, threshold=0.95).collect()}
+    assert got2 == {1}

@@ -401,3 +401,29 @@ def test_semdedup_pairs_is_cluster_scoped_exact(sf_emb):
     # the scoping must actually bite on this corpus (cross-cluster
     # pairs exist), else the test proves nothing
     assert len(sem) < len(exact)
+
+
+def test_semdedup_keep_rule(sf_emb):
+    """The paper's election: exactly one keeper per duplicate group,
+    and it is the member with the LOWEST centroid cosine (ties min
+    id); membership = the nodes of the pair graph; group_rep is the
+    component-min id; sizes agree with the actual member count."""
+    cent = S.train_ivf_centroids(sf_emb, n_centroids=8)
+    pairs = D.semdedup_pairs(sf_emb, cent, threshold=0.3).collect()
+    rows = D.semdedup_keep(sf_emb, cent, threshold=0.3).collect()
+    assert {r.vec_id for r in rows} == (
+        {p.a_id for p in pairs} | {p.b_id for p in pairs}
+    )
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r.group_rep, []).append(r)
+    for g, ms in by_group.items():
+        assert all(m.group_size == len(ms) for m in ms)
+        assert g == min(m.vec_id for m in ms)
+        keeps = [m for m in ms if m.keep]
+        assert len(keeps) == 1
+        assert (keeps[0].centroid_cos, keeps[0].vec_id) == min(
+            (m.centroid_cos, m.vec_id) for m in ms
+        )
+    # the election must be live (some group has >1 member)
+    assert any(len(ms) > 1 for ms in by_group.values())
