@@ -255,6 +255,33 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
             embedding_near_dup_pairs_blocked(emb1k, threshold=0.3)))
         qv = [float(x) for x in emb.first()["embedding"]]
         timed("ann_topk_blas", lambda: noop(topk_mapinpandas(emb, qv, 10)))
+        # SemDeDup family over the FULL corpus (cluster scoping is the
+        # scale path, so no slice needed) + semantic decontam
+        from log_aggregation_pipeline_spark.operators.decontam import (
+            eval_split,
+            semantic_contaminated,
+        )
+        from log_aggregation_pipeline_spark.operators.dedupe import (
+            semdedup_keep,
+            semdedup_pairs,
+        )
+        from log_aggregation_pipeline_spark.operators.similarity import (
+            train_ivf_centroids,
+        )
+
+        cent = train_ivf_centroids(emb, n_centroids=8)
+        timed("emb_semdedup_pairs", lambda: noop(
+            semdedup_pairs(emb, cent, threshold=0.3)))
+        timed("emb_semdedup_keep", lambda: noop(
+            semdedup_keep(emb, cent, threshold=0.3)))
+        ev = eval_split(emb, 20, id_col="vec_id")
+        ev_rows = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in ev.collect()
+        ]
+        timed("emb_semantic_decontam", lambda: noop(semantic_contaminated(
+            emb.join(ev.select("vec_id"), "vec_id", "left_anti"),
+            ev_rows, threshold=0.3)))
         from log_aggregation_pipeline_spark.operators.text_analysis import (
             lm_repetition_features,
         )

@@ -167,6 +167,10 @@ def semantic_contaminated(
 
     import numpy as np
 
+    if not eval_vectors:
+        # F.array() with zero elements cannot carry the struct type —
+        # and a silent "nothing flagged" would hide a wiring bug
+        raise ValueError("semantic_contaminated: eval_vectors is empty")
     vec = F.col(vec_col).cast("array<double>")
     base = train.select(F.col(id_col), vec.alias("_v")).withColumn(
         "_n", norm_expr("_v")

@@ -709,8 +709,10 @@ def semdedup_pairs(
     grows ~n/target_cluster_size (the paper's regime) so candidate
     volume stays ~n x target_cluster_size, linear in n.  At ingest
     the assignment can be written ``partitionBy(cluster)`` (see
-    ``similarity.ivf_write``) making this join co-located and
-    shuffle-free on the big side."""
+    ``similarity.ivf_write``) so per-cluster passes prune at the scan;
+    to make the self-join itself exchange-free, write ``bucketBy``
+    on the cluster id (plain partitioned parquet prunes but does not
+    co-locate a join)."""
     base = _semdedup_base(df, centroids, vec_col, id_col)
     return _semdedup_pairs_from_base(base, threshold)
 
