@@ -387,3 +387,39 @@ def test_range_join_is_equi_join(spark):
     p = plan_of(range_join_within(l, r))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_semdedup_pair_stage_is_equi_join(spark):
+    """SemDeDup's pair stage must plan as a join keyed on the cluster
+    id (hash or sort-merge — AQE-splittable either way), never a
+    BroadcastNestedLoopJoin/CartesianProduct: hot boilerplate clusters
+    are exactly the skewed-key case a keyed join survives and an
+    all-pairs plan does not."""
+    from log_aggregation_pipeline_spark.operators.dedupe import semdedup_pairs
+    from log_aggregation_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    p = plan_of(semdedup_pairs(emb, cent, threshold=0.3))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Join" in p  # keyed join present, not a collect-side scan
+
+
+def test_semantic_decontam_is_pure_projection(spark):
+    """The literal-eval semantic decontam must be shuffle-free end to
+    end: eval vectors ride the closure, so the whole scorer is
+    scan -> project -> filter — ZERO Exchange, zero joins.  This is
+    the plan property that makes it free at 100 TB (one pass over the
+    corpus, no data movement)."""
+    from log_aggregation_pipeline_spark.operators.decontam import (
+        semantic_contaminated,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    evals = [(0, [1.0] * 64), (1, [0.5] * 64)]
+    p = plan_of(semantic_contaminated(emb, evals, threshold=0.3))
+    assert "Exchange" not in p
+    assert "Join" not in p
