@@ -463,6 +463,19 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
 
         timed("corpus_prep_funnel_neardup_mat", _neardup_mat)
 
+        # the combined 100 TB form: banded LSH pair stage + keeper set
+        # materialized once (one corpus shuffle, bounded candidates)
+        def _neardup_lsh_mat():
+            mat_root = tempfile.mkdtemp(prefix="lap_bench_lshmat_")
+            try:
+                noop(corpus_prep_funnel_neardup(
+                    docs, pairs="lsh",
+                    materialize_dir=f"{mat_root}/keepers"))
+            finally:
+                shutil.rmtree(mat_root, ignore_errors=True)
+
+        timed("corpus_prep_funnel_neardup_lsh_mat", _neardup_lsh_mat)
+
     spark.stop()
     total = round(sum(timings.values()), 4)
     return {

@@ -423,3 +423,27 @@ def test_semantic_decontam_is_pure_projection(spark):
     p = plan_of(semantic_contaminated(emb, evals, threshold=0.3))
     assert "Exchange" not in p
     assert "Join" not in p
+
+
+def test_neardup_funnel_lsh_mat_combined(spark, tmp_path_factory):
+    """pairs="lsh" composes with materialize_dir (the combined 100 TB
+    form: bounded banded candidates + the keeper set written once) —
+    the report must equal the recomputed LSH form row-for-row, and the
+    final plan must read keepers from the materialized parquet (no
+    keeper-election window recompute: the _rn# marker is absent)."""
+    from log_aggregation_pipeline_spark.plans.corpus_prep import (
+        corpus_prep_funnel_neardup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # short tempdir: FileScan Location strings truncate long paths
+    # out of the plan text (repo gotcha)
+    mat = str(tmp_path_factory.mktemp("m")) + "/k"
+    combined = corpus_prep_funnel_neardup(
+        docs, pairs="lsh", materialize_dir=mat
+    )
+    rows = combined.collect()
+    assert rows == corpus_prep_funnel_neardup(docs, pairs="lsh").collect()
+    p = plan_of(combined)
+    assert "_rn#" not in p
+    assert "CartesianProduct" not in p

@@ -546,3 +546,63 @@ def test_normalize_unicode_makes_dedup_see_equal_text(spark):
     nfd = {r.doc_id: r.t for r in TA.normalize_unicode(
         df, out_col="t", form="NFD").collect()}
     assert nfd[1] == nfd[2] == decomposed
+
+
+def test_substring_dedup_matches_python_reference(spark):
+    """Differential test: substring_dedup vs an independent pure-Python
+    implementation of the spec (normalize -> k-gram df -> min-doc
+    canonical -> covered-position islands) on a seeded random corpus
+    over a tiny alphabet (forcing heavy cross-doc gram collisions)
+    plus planted edge docs.  Catches any drift the planted-span test's
+    hand-built cases miss."""
+    import re as _re
+    from collections import defaultdict
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    docs = {
+        i: " ".join(rng.choice(words, size=int(rng.randint(0, 13))))
+        for i in range(40)
+    }
+    docs[40] = ""            # empty -> absent
+    docs[41] = "   "         # whitespace -> absent
+    docs[42] = docs[5]       # exact clone (if doc 5 nonempty)
+    k = 3
+
+    norm = {
+        i: _re.sub(r"[ \t\n\x0b\f\r]+", " ", t.strip().lower())
+        for i, t in docs.items()
+    }
+    toks = {i: n.split(" ") for i, n in norm.items() if n != ""}
+    gram_docs: dict[tuple, set] = defaultdict(set)
+    for i, ts in toks.items():
+        for s in range(len(ts) - k + 1):
+            gram_docs[tuple(ts[s:s + k])].add(i)
+    expect = {}
+    for i, ts in toks.items():
+        covered: set[int] = set()
+        for s in range(len(ts) - k + 1):
+            ds = gram_docs[tuple(ts[s:s + k])]
+            if len(ds) >= 2 and i != min(ds):
+                covered.update(range(s, s + k))
+        spans, prev = 0, -2
+        for p in sorted(covered):
+            if p != prev + 1:
+                spans += 1
+            prev = p
+        clean = " ".join(t for j, t in enumerate(ts) if j not in covered)
+        expect[i] = (len(ts), len(covered), spans, clean)
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.n_spans, r.clean_text)
+        for r in TA.substring_dedup(df, k=k).collect()
+    }
+    assert got == expect
+    # the differential must be live: dup spans and clean survivors both
+    assert any(v[1] > 0 for v in expect.values())
+    assert any(v[1] == 0 and v[0] > 0 for v in expect.values())
