@@ -786,7 +786,10 @@ def semdedup_keep(
     pair-family convention — they are all trivially kept).
 
     100 TB posture: assignment + centroid cosine ride the scan
-    (projection-only, shared with the pair stage); grouping is the
+    (projection-only; the pair stage and the member join each evaluate
+    the same projection — Catalyst does not dedupe subplans, so at
+    corpus scale write the assignment once at ingest and read it back,
+    the ``ivf_write`` pattern); grouping is the
     pointer-jumping CC (O(V) state per round); the election is one
     row_number window partitioned by group — group sizes are bounded
     by cluster sizes, so no unsplittable hot partition beyond what the
