@@ -127,10 +127,14 @@ DRIVER_WINDOW = 50
 # priority).  r6: corpus_mix gained the zero-token filter (both
 # sides — a semantics change); the incremental-exact oracle was
 # rewritten NOT IN -> NOT EXISTS (equivalence-preserving on this
-# corpus, but the twin changed, so its evidence must be fresh).
+# corpus, but the twin changed, so its evidence must be fresh);
+# rp_project normalizes IEEE -0.0 -> 0.0 on both sides (output bytes
+# changed for coordinates rounding to zero from below — found by the
+# full sf0.1 oracle sweep, one cell at vec 585).
 RETOUCHED: frozenset[str] = frozenset({
     "corpus_mix_weighted",
     "doc_incremental_exact_new",
+    "emb_rp_project",
 })
 
 

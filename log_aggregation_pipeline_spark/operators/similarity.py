@@ -340,9 +340,14 @@ def rp_project(
     v = F.col(vec_col).cast("array<double>")
     scale = 1.0 / math.sqrt(out_dim)
     cols = [
-        F.round(
+        # + 0.0 normalizes IEEE signed zero: a coordinate that rounds
+        # to zero from below is -0.0 in one engine and 0.0 in the
+        # other (hit at sf0.1, vec 585), and the value-hash compare
+        # distinguishes them; adding +0.0 is exact for every double
+        # and maps -0.0 -> 0.0 on BOTH sides (twin does the same)
+        (F.round(
             dot_expr(v, F.array(*[F.lit(float(x)) for x in h])) * scale, 6
-        ).alias(f"rp_{j}")
+        ) + F.lit(0.0)).alias(f"rp_{j}")
         for j, h in enumerate(planes)
     ]
     return df.select(F.col(id_col), *cols)

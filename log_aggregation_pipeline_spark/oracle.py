@@ -1435,9 +1435,12 @@ def rp_project_sql(planes, out_dim: int) -> str:
     cols = []
     for j, h in enumerate(planes):
         lit = "[" + ", ".join(repr(float(x)) for x in h) + "]"
+        # + 0.0 maps IEEE -0.0 -> 0.0 (mirrors the Spark side): a
+        # coordinate rounding to zero from below otherwise hashes as
+        # "-0.0" in one engine and "0.0" in the other
         cols.append(
-            f"round(list_dot_product(embedding::DOUBLE[], {lit}) * {scale}, 6)"
-            f" AS rp_{j}"
+            f"(round(list_dot_product(embedding::DOUBLE[], {lit}) * {scale}, 6)"
+            f" + 0.0) AS rp_{j}"
         )
     sel = ",\n       ".join(cols)
     return f"SELECT vec_id,\n       {sel}\nFROM embeddings"
