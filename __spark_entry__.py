@@ -658,6 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         jaccard_t=JACCARD_T, decontam_k=DECONTAM_K, n_eval=N_EVAL,
         pairs="lsh",
     )
+    # cross-source contamination matrix (shared distinct shingles)
+    q["doc_source_overlap"] = lambda s, d: text_analysis.source_overlap(
+        _docs(s, d), k=JACCARD_K
+    )
     q["doc_top_ngrams"] = lambda s, d: text_analysis.top_ngrams(
         _docs(s, d), k=JACCARD_K, top=20
     )
@@ -1156,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
         jaccard_t=JACCARD_T, max_shingle_freq=None,
         k=DECONTAM_K, n_eval=N_EVAL,
     )
+    o["doc_source_overlap"] = oracle.source_overlap_sql(JACCARD_K)
     o["doc_top_ngrams"] = oracle.top_ngrams_sql(JACCARD_K, top=20)
     o["doc_ngram_novelty"] = oracle.ngram_novelty_sql(
         JACCARD_K, NOVELTY_RARE_DF, NOVELTY_COMMON_DF

@@ -1149,3 +1149,67 @@ def top_ngrams(
         .orderBy(F.desc("doc_freq"), F.asc("ngram"))
         .limit(top)
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source
+    pair, how many distinct word-k-gram shingles the two sources
+    share — the "is my fresh crawl recycling my old dump?" diagnostic
+    that decides whether cross-source dedup is worth a pipeline stage.
+
+    Columns: (source_a, source_b, shared_shingles, n_a, n_b,
+    containment_ppm) with a < b lexicographically; ``containment_ppm``
+    = shared * 10^6 div min(n_a, n_b) (integer-ratio discipline —
+    containment of the smaller side, parts per million).  Pairs
+    sharing zero shingles are absent (the pair-family convention).
+
+    100 TB posture: the heavy stage is ONE distinct aggregate to
+    (source, shingle) — corpus-shingle-scale shuffle, map-side
+    partial; the self-join keys on the shingle where per-key
+    cardinality is bounded by the SOURCE COUNT after the distinct
+    (each gram appears at most once per source), so join output is
+    <= |grams| x sources² with no hot keys regardless of how common a
+    gram is in the raw corpus — the stop-gram skew never reaches the
+    join.  The pair aggregate's cardinality is sources², driver-tiny."""
+    from .dedupe import normalize_text, shingles_from_tokens
+
+    toks = df.select(
+        F.col(source_col).alias("_src"),
+        F.split(normalize_text(text_col), " ").alias("_toks"),
+    ).filter(F.size("_toks") >= k)
+    sg = (
+        toks.select("_src", shingles_from_tokens("_toks", k).alias("_sh"))
+        .select("_src", F.explode_outer("_sh").alias("_s"))
+        .distinct()
+    )
+    cnt = sg.groupBy("_src").agg(F.count("*").alias("_n"))
+    shared = (
+        sg.withColumnsRenamed({"_src": "source_a"})
+        .join(sg.withColumnsRenamed({"_src": "source_b"}), ["_s"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    return (
+        shared.join(
+            cnt.withColumnsRenamed({"_src": "source_a", "_n": "n_a"}),
+            "source_a",
+        )
+        .join(
+            cnt.withColumnsRenamed({"_src": "source_b", "_n": "n_b"}),
+            "source_b",
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("(shared_shingles * 1000000) div least(n_a, n_b)"),
+        )
+        .select(
+            "source_a", "source_b", "shared_shingles",
+            "n_a", "n_b", "containment_ppm",
+        )
+    )

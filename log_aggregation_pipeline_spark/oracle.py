@@ -1560,6 +1560,37 @@ FROM ranked
 """
 
 
+def source_overlap_sql(k: int) -> str:
+    """Twin of text_analysis.source_overlap: per-doc distinct grams
+    via the list_distinct comprehension (the jaccard idiom), DISTINCT
+    to (source, gram), self-join a.source < b.source, counts joined
+    back, containment as integer ppm of the smaller side."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH arr AS (
+  SELECT source, string_split({NORM_SQL}, ' ') AS t FROM documents
+),
+g AS (
+  SELECT source,
+         unnest(list_distinct([ {gram} for i in range(1, len(t) - {k - 2}) ])) AS s
+  FROM arr WHERE len(t) >= {k}
+),
+sg AS (SELECT DISTINCT source, s FROM g),
+cnt AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+sh AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS shared_shingles
+  FROM sg a JOIN sg b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_shingles, ca.n AS n_a, cb.n AS n_b,
+       (shared_shingles * 1000000) // least(ca.n, cb.n) AS containment_ppm
+FROM sh
+JOIN cnt ca ON ca.source = sh.source_a
+JOIN cnt cb ON cb.source = sh.source_b
+"""
+
+
 def media_features_sql() -> str:
     """Oracle for the byte-level media features: the fake media payload
     is exactly the UTF-8 bytes of documents.text, so n_bytes/sig are

@@ -606,3 +606,23 @@ def test_substring_dedup_matches_python_reference(spark):
     # the differential must be live: dup spans and clean survivors both
     assert any(v[1] > 0 for v in expect.values())
     assert any(v[1] == 0 and v[0] > 0 for v in expect.values())
+
+
+def test_source_overlap_planted(spark):
+    """Planted sources: one shared gram between s1/s2, a disjoint s3
+    (absent pairs), a sub-k source absent entirely, containment as
+    integer ppm of the smaller side, lexicographic pair order."""
+    rows = [
+        (1, "a b c d", "s1"),      # grams {abc, bcd}
+        (2, "a b c x", "s2"),      # grams {abc, bcx} -> shares abc
+        (3, "z z z z", "s3"),      # {zzz}: disjoint
+        (4, "hi", "s4"),           # < k tokens: no grams
+        (5, "a b c d", "s1"),      # duplicate doc: distinct per source
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): r
+           for r in TA.source_overlap(df, k=3).collect()}
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    assert (r.shared_shingles, r.n_a, r.n_b) == (1, 2, 2)
+    assert r.containment_ppm == 500000
