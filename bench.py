@@ -399,6 +399,11 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         timed("doc_tfidf_keywords", lambda: noop(tfidf_keywords(docs)))
         timed("doc_line_dedup", lambda: noop(line_dedup(docs)))
         timed("doc_substring_dedup", lambda: noop(substring_dedup(docs, k=5)))
+        from log_aggregation_pipeline_spark.operators.text_analysis import (
+            source_overlap,
+        )
+
+        timed("doc_source_overlap", lambda: noop(source_overlap(docs)))
         from log_aggregation_pipeline_spark.operators.sampling import (
             corpus_mix,
         )
