@@ -124,18 +124,12 @@ DRIVER_WINDOW = 50
 # on stale evidence, so they sort directly after the unverified front
 # (still inside the window while 27 + len(RETOUCHED) <= 50).  Clear or
 # rewrite per round; leaving a stale name is harmless (it just keeps
-# priority).  r6: corpus_mix gained the zero-token filter (both
-# sides — a semantics change); the incremental-exact oracle was
-# rewritten NOT IN -> NOT EXISTS (equivalence-preserving on this
-# corpus, but the twin changed, so its evidence must be fresh);
-# rp_project normalizes IEEE -0.0 -> 0.0 on both sides (output bytes
-# changed for coordinates rounding to zero from below — found by the
-# full sf0.1 oracle sweep, one cell at vec 585).
-RETOUCHED: frozenset[str] = frozenset({
-    "corpus_mix_weighted",
-    "doc_incremental_exact_new",
-    "emb_rp_project",
-})
+# priority).  r7: EMPTY — no verified entry's semantics changed this
+# round (the semdedup materialize_dir/bucket_by additions are new
+# OPTIONAL paths; the default plans and outputs of emb_semdedup_pairs/
+# emb_semdedup_keep are byte-identical, equality pinned in
+# tests/test_plans.py).
+RETOUCHED: frozenset[str] = frozenset()
 
 
 def _verified_last_round(repo_dir: str | None = None) -> set[str]:
@@ -812,6 +806,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_semdedup_keep"] = _semdedup_keep
 
+    # single-scan SemDeDup (VERDICT r6 #1): the assignment base is
+    # written ONCE, bucketed by cluster, and both the pair stage and
+    # the member join read it back — output-identical to the
+    # recomputed form (pinned in tests/test_plans.py along with the
+    # no-centroid-fold and exchange-free-join plan properties), so the
+    # exact semdedup_keep oracle applies unchanged
+    def _semdedup_keep_mat(s, d):
+        import tempfile
+
+        emb = _emb(s, d)
+        cent = similarity.train_ivf_centroids(emb, n_centroids=8)
+        mat = tempfile.mkdtemp(prefix="lap_sdk_") + "/base"
+        return dedupe.semdedup_keep(
+            emb, cent, threshold=EMB_NEAR_T, materialize_dir=mat
+        )
+
+    q["emb_semdedup_keep_mat"] = _semdedup_keep_mat
+
     # semantic decontam: the paraphrase-leak complement of
     # doc_decontaminate — eval slice via the shared md5-rank split,
     # eval vectors ride the closure as literals (bounded eval side),
@@ -1236,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         ("ann_ivf_topk", _ivf_oracle_sql),
         ("emb_semdedup_pairs", _semdedup_oracle_sql),
         ("emb_semdedup_keep", _semdedup_keep_oracle_sql),
+        ("emb_semdedup_keep_mat", _semdedup_keep_oracle_sql),
         ("doc_simhash_pairs", _simhash_oracle_sql),
     ):
         try:

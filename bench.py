@@ -274,6 +274,20 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
             semdedup_pairs(emb, cent, threshold=0.3)))
         timed("emb_semdedup_keep", lambda: noop(
             semdedup_keep(emb, cent, threshold=0.3)))
+
+        # single-scan form: fresh dir per rep (a reused dir would
+        # re-read the previous rep's base and skip the write; the
+        # write IS part of the measured work)
+        def _semdedup_keep_mat():
+            mat_root = tempfile.mkdtemp(prefix="lap_bench_sdk_")
+            try:
+                noop(semdedup_keep(
+                    emb, cent, threshold=0.3,
+                    materialize_dir=f"{mat_root}/base"))
+            finally:
+                shutil.rmtree(mat_root, ignore_errors=True)
+
+        timed("emb_semdedup_keep_mat", _semdedup_keep_mat)
         ev = eval_split(emb, 20, id_col="vec_id")
         ev_rows = [
             (r["vec_id"], [float(x) for x in r["embedding"]])

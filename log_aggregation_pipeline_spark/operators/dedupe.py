@@ -679,6 +679,8 @@ def semdedup_pairs(
     threshold: float = 0.3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize_dir: str | None = None,
+    n_buckets: int = 8,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) candidate pairs:
     semantic near-duplicates scored ONLY within k-means clusters — the
@@ -707,13 +709,24 @@ def semdedup_pairs(
     BNLJ/cartesian, AQE splits hot clusters; per-task work is bounded
     by the cluster-size distribution, and at corpus scale n_centroids
     grows ~n/target_cluster_size (the paper's regime) so candidate
-    volume stays ~n x target_cluster_size, linear in n.  At ingest
-    the assignment can be written ``partitionBy(cluster)`` (see
-    ``similarity.ivf_write``) so per-cluster passes prune at the scan;
-    to make the self-join itself exchange-free, write ``bucketBy``
-    on the cluster id (plain partitioned parquet prunes but does not
-    co-locate a join)."""
+    volume stays ~n x target_cluster_size, linear in n.
+
+    With the default ``materialize_dir=None`` the assignment
+    projection is referenced by both join sides, and Catalyst does not
+    dedupe subplans — two full evaluations of the centroid folds (fine
+    at audit scale).  **Passing ``materialize_dir`` is the 100 TB
+    form**: the assignment base is written ONCE as a parquet table
+    BUCKETED by cluster (``semdedup_base_write``) and both join sides
+    re-read it column-pruned — the final plan contains no centroid
+    fold at all, and the self-join is exchange-free because the
+    bucketed scan already hash-partitions on the join key (plain
+    ``partitionBy`` parquet prunes but does NOT co-locate a join —
+    the r6 gotcha, made executable in tests/test_plans.py)."""
     base = _semdedup_base(df, centroids, vec_col, id_col)
+    if materialize_dir is not None:
+        base = semdedup_base_write(
+            base, materialize_dir, n_buckets=n_buckets
+        )
     return _semdedup_pairs_from_base(base, threshold)
 
 
@@ -749,6 +762,22 @@ def _semdedup_base(
     )
 
 
+def semdedup_base_write(
+    base: DataFrame, path: str, n_buckets: int = 8
+) -> DataFrame:
+    """Write a ``_semdedup_base`` frame ONCE as an external parquet
+    table BUCKETED (and sorted) by the cluster id, and return the
+    read-back frame.  Eager (write happens at call time — the
+    plans/pipeline.py write-then-reread idiom, measured faster than
+    persist() for wide frames).  Delegates to
+    ``similarity.write_bucketed_by_cluster`` — bucketing (not
+    partitionBy) is what makes the downstream cluster self-join
+    exchange-free."""
+    from .similarity import write_bucketed_by_cluster
+
+    return write_bucketed_by_cluster(base, path, n_buckets=n_buckets)
+
+
 def _semdedup_pairs_from_base(base: DataFrame, threshold: float) -> DataFrame:
     from .similarity import dot_expr
 
@@ -772,6 +801,8 @@ def semdedup_keep(
     threshold: float = 0.3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize_dir: str | None = None,
+    n_buckets: int = 8,
 ) -> DataFrame:
     """SemDeDup endgame — the paper's keep rule: within each duplicate
     GROUP (connected component of ``semdedup_pairs`` edges; components
@@ -786,17 +817,25 @@ def semdedup_keep(
     pair-family convention — they are all trivially kept).
 
     100 TB posture: assignment + centroid cosine ride the scan
-    (projection-only; the pair stage and the member join each evaluate
-    the same projection — Catalyst does not dedupe subplans, so at
-    corpus scale write the assignment once at ingest and read it back,
-    the ``ivf_write`` pattern); grouping is the
-    pointer-jumping CC (O(V) state per round); the election is one
-    row_number window partitioned by group — group sizes are bounded
-    by cluster sizes, so no unsplittable hot partition beyond what the
-    pair stage already tolerates."""
+    (projection-only).  With the default ``materialize_dir=None`` the
+    pair stage and the member join EACH evaluate the assignment
+    projection — Catalyst does not dedupe subplans, so that is 2-3
+    full scans of the embedding table (fine at audit scale, weak at
+    100 TB).  **Passing ``materialize_dir`` is the 100 TB form**: the
+    assignment base is written once, bucketed by cluster
+    (``semdedup_base_write``), and the pair stage AND the member join
+    both re-read it column-pruned — no centroid fold survives in the
+    final plan (pinned in tests/test_plans.py), and the pair
+    self-join is exchange-free off the bucketed scan.  Grouping is
+    the pointer-jumping CC (O(V) state per round); the election is
+    one row_number window partitioned by group — group sizes are
+    bounded by cluster sizes, so no unsplittable hot partition beyond
+    what the pair stage already tolerates."""
     from .cluster import dup_clusters
 
     base = _semdedup_base(df, centroids, vec_col, id_col)
+    if materialize_dir is not None:
+        base = semdedup_base_write(base, materialize_dir, n_buckets=n_buckets)
     pairs = _semdedup_pairs_from_base(base, threshold)
     groups = dup_clusters(pairs, "a_id", "b_id")
     members = groups.join(

@@ -251,16 +251,59 @@ def ivf_topk(
     return brute_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def write_bucketed_by_cluster(
+    df: DataFrame, path: str, n_buckets: int = 8
+) -> DataFrame:
+    """Write ``df`` (which must carry a ``cluster`` column) as an
+    external parquet table BUCKETED and sorted by cluster, and return
+    the read-back frame.  A bucketed scan reports
+    ``HashPartitioning(cluster, n_buckets)`` to the planner, so a
+    downstream self-equi-join on cluster needs NO Exchange on either
+    side — plain ``partitionBy(cluster)`` parquet gives partition
+    PRUNING but does not co-locate a join (the r6 gotcha; the
+    no-Exchange property is pinned in tests/test_plans.py).  External
+    table: data lives under ``path``, only metadata enters the session
+    catalog, under a name derived from the path so materializations to
+    different dirs coexist."""
+    import hashlib
+
+    spark = df.sparkSession
+    name = "lap_bucketed_" + hashlib.md5(path.encode()).hexdigest()[:12]
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, "cluster")
+        .sortBy("cluster")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
 def ivf_write(
-    df: DataFrame, centroids: np.ndarray, path: str, vec_col: str = "embedding"
-) -> None:
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    bucket_by: int | None = None,
+) -> DataFrame | None:
     """IVF-at-ingest: assign once, write the table PARTITIONED BY
     cluster.  Queries then prune to the probed partitions at the scan
     (PartitionFilters — pinned by tests/test_plans.py), so a probe of
-    nprobe/n_centroids clusters reads ~that fraction of the bytes."""
-    ivf_assign(df, centroids, vec_col).write.mode("overwrite").partitionBy(
-        "cluster"
-    ).parquet(path)
+    nprobe/n_centroids clusters reads ~that fraction of the bytes.
+
+    ``bucket_by=n`` writes ``bucketBy(n, "cluster")`` instead (via
+    ``write_bucketed_by_cluster``) and returns the read-back frame:
+    the form for workloads that SELF-JOIN on the cluster id (SemDeDup
+    pair stages, per-cluster passes) — pruning alone leaves a full
+    exchange on every read-back join, bucketing removes it.  The
+    default partitioned form remains the right call for probe-style
+    point reads (partition pruning cuts bytes; buckets do not)."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    if bucket_by is not None:
+        return write_bucketed_by_cluster(assigned, path, n_buckets=bucket_by)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    return None
 
 
 def ivf_topk_pruned(

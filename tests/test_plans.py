@@ -447,3 +447,103 @@ def test_neardup_funnel_lsh_mat_combined(spark, tmp_path_factory):
     p = plan_of(combined)
     assert "_rn#" not in p
     assert "CartesianProduct" not in p
+
+
+def _no_broadcast(spark):
+    """Context manager: disable auto-broadcast so a no-Exchange
+    assertion pins the BUCKETED co-location, not a trivially
+    shuffle-free broadcast join."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    return ctx()
+
+
+def test_semdedup_materialized_single_scan(spark, tmp_path_factory):
+    """VERDICT r6 #1 made executable: with materialize_dir, the
+    assignment base is written once and BOTH the pair stage and the
+    member join read it back — the final plans contain NO centroid
+    fold at all (array_position appears only in the assignment
+    projection), and the outputs equal the recomputed forms
+    row-for-row."""
+    from log_aggregation_pipeline_spark.operators.dedupe import (
+        semdedup_keep,
+        semdedup_pairs,
+    )
+    from log_aggregation_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    mat = str(tmp_path_factory.mktemp("sd")) + "/b"
+    pairs_mat = semdedup_pairs(emb, cent, threshold=0.3, materialize_dir=mat)
+    assert sorted(map(tuple, pairs_mat.collect())) == sorted(
+        map(tuple, semdedup_pairs(emb, cent, threshold=0.3).collect())
+    )
+    p = plan_of(pairs_mat)
+    assert "array_position" not in p  # assignment evaluated ONCE, at write
+    assert "CartesianProduct" not in p
+
+    mat2 = str(tmp_path_factory.mktemp("sk")) + "/b"
+    keep_mat = semdedup_keep(emb, cent, threshold=0.3, materialize_dir=mat2)
+    assert sorted(map(tuple, keep_mat.collect())) == sorted(
+        map(tuple, semdedup_keep(emb, cent, threshold=0.3).collect())
+    )
+    assert "array_position" not in plan_of(keep_mat)
+
+
+def test_semdedup_bucketed_pair_join_no_exchange(spark, tmp_path_factory):
+    """The r6 CLAUDE.md gotcha made executable (VERDICT r6 #2): the
+    materialized base is written bucketBy(cluster), so the pair
+    stage's self-equi-join on cluster plans with ZERO Exchange on
+    either side (broadcast disabled so the assertion pins the bucket
+    co-location, not a broadcast).  partitionBy(cluster) would prune
+    but still pay a full exchange here."""
+    from log_aggregation_pipeline_spark.operators.dedupe import semdedup_pairs
+    from log_aggregation_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    mat = str(tmp_path_factory.mktemp("sb")) + "/b"
+    with _no_broadcast(spark):
+        p = plan_of(semdedup_pairs(emb, cent, threshold=0.3, materialize_dir=mat))
+    assert "Exchange" not in p
+    assert "SortMergeJoin" in p  # keyed join co-located by the buckets
+
+
+def test_ivf_write_bucketed_self_join_no_exchange(spark, tmp_path_factory):
+    """ivf_write(bucket_by=n) writes bucketBy(n, cluster) and returns
+    the read-back frame; a self-join on cluster off that frame needs
+    no Exchange (the SemDeDup/per-cluster-pass read-back shape).  The
+    default partitioned form keeps PartitionFilters pruning (pinned
+    elsewhere) — the two forms serve different read patterns."""
+    from log_aggregation_pipeline_spark.operators.similarity import (
+        ivf_write,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    path = str(tmp_path_factory.mktemp("ib")) + "/t"
+    t = ivf_write(emb, cent, path, bucket_by=8)
+    assert t is not None and t.count() == emb.count()
+    a, b = t.alias("a"), t.alias("b")
+    j = a.join(b, "cluster").filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    with _no_broadcast(spark):
+        p = plan_of(
+            a.join(b, "cluster").filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        )
+    assert "Exchange" not in p
+    # and the join is real (row-level sanity, not just plan text)
+    assert j.count() > 0
