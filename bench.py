@@ -229,7 +229,20 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         timed("sessionize", lambda: noop(sessionize(
             transcripts_from_events(spark, sf_dir))))
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        timed("minhash_lsh_pairs", lambda: noop(minhash_lsh_pairs(docs)))
+
+        def _free_lap(df) -> None:
+            # caller-owned cache lifetime (ADVICE r6): LSH pair plans
+            # persist their shingle frame; free it after each rep so
+            # the 3-rep loops don't accumulate cached blocks
+            for f in getattr(df, "lap_persisted", ()):
+                f.unpersist()
+
+        def _minhash_lsh():
+            pairs = minhash_lsh_pairs(docs)
+            noop(pairs)
+            _free_lap(pairs)
+
+        timed("minhash_lsh_pairs", _minhash_lsh)
         from log_aggregation_pipeline_spark.operators.dedupe import (
             dropped_shingle_stats,
             embedding_near_dup_pairs_blocked,
@@ -467,8 +480,12 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
               lambda: noop(corpus_prep_funnel_neardup(docs)))
         # LSH pair source — the 100 TB pair stage (banded buckets
         # instead of the exact shingle self-join)
-        timed("corpus_prep_funnel_neardup_lsh",
-              lambda: noop(corpus_prep_funnel_neardup(docs, pairs="lsh")))
+        def _neardup_lsh():
+            report = corpus_prep_funnel_neardup(docs, pairs="lsh")
+            noop(report)
+            _free_lap(report)
+
+        timed("corpus_prep_funnel_neardup_lsh", _neardup_lsh)
 
         # materialized-keeper form: fresh dir per rep (a reused dir
         # would re-read the previous rep's files and skip the write)
@@ -487,9 +504,11 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         def _neardup_lsh_mat():
             mat_root = tempfile.mkdtemp(prefix="lap_bench_lshmat_")
             try:
-                noop(corpus_prep_funnel_neardup(
+                report = corpus_prep_funnel_neardup(
                     docs, pairs="lsh",
-                    materialize_dir=f"{mat_root}/keepers"))
+                    materialize_dir=f"{mat_root}/keepers")
+                noop(report)
+                _free_lap(report)
             finally:
                 shutil.rmtree(mat_root, ignore_errors=True)
 
@@ -541,6 +560,38 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
             "queries_reps": reps_log,
         },
     }
+
+
+def run_bench_quiet(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
+    """VERDICT r6 #4: the official per-round snapshot should come from
+    the quiet band.  A run whose own disk probes disagree with each
+    other (max > ~3x median) was captured under host contention — r6's
+    driver artifact recorded 0.45→0.75 s deltas that were pure
+    contention, adjudicated only by the builder's clean rerun.  Retry
+    the full suite (SPARK_GRAFT_QUIET_RETRIES, default 1 extra
+    attempt) and keep the attempt with the quietest probes; the retry
+    count lands in the verbose record, never on the contract line."""
+    retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "1"))
+    best = None
+    attempts = 0
+    for _ in range(retries + 1):
+        report = run_bench(sf_dir, cores, pipeline_only)
+        attempts += 1
+        p = report["pipeline"]
+        if best is None or (
+            p["disk_probe_max_s"] < best["pipeline"]["disk_probe_max_s"]
+        ):
+            best = report
+        if p["disk_probe_max_s"] <= 3 * max(p["disk_probe_median_s"], 1e-9):
+            best = report
+            break
+        print(
+            f"[bench] contended run (disk probe max {p['disk_probe_max_s']} s"
+            f" vs median {p['disk_probe_median_s']} s) — retrying",
+            file=sys.stderr,
+        )
+    best.setdefault("_verbose", {})["quiet_retry_attempts"] = attempts
+    return best
 
 
 # The driver's stdout tail-capture is empirically 2000 bytes (every
@@ -626,7 +677,14 @@ def disk_probe(scratch_dir: str, n_bytes: int = DISK_PROBE_BYTES) -> float:
     artifact can attribute a slow rep to a host IO phase (probe slow
     too) vs the code (probe normal) without builder-side evidence —
     VERDICT r5 next-round #3.  Deterministic non-zero pattern (a
-    zero page would be trivially served from cache on some FS)."""
+    zero page would be trivially served from cache on some FS).
+
+    The read leg evicts the just-written file from the page cache
+    first (posix_fadvise DONTNEED — ADVICE r6 #3): without the
+    eviction the read was served from memory and the probe only
+    adjudicated write/fsync phases; with it the probe covers both
+    directions of the disk path.  The eviction is inside the timed
+    window deliberately — it is itself writeback-bound work."""
     path = os.path.join(scratch_dir, "_disk_probe.bin")
     buf = bytes(range(256)) * (1024 * 1024 // 256)  # 1 MiB pattern
     t0 = time.perf_counter()
@@ -636,6 +694,8 @@ def disk_probe(scratch_dir: str, n_bytes: int = DISK_PROBE_BYTES) -> float:
         f.flush()
         os.fsync(f.fileno())
     with open(path, "rb") as f:
+        if hasattr(os, "posix_fadvise"):  # Linux: drop cached pages
+            os.posix_fadvise(f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
         while f.read(8 * 1024 * 1024):
             pass
     elapsed = time.perf_counter() - t0
@@ -916,7 +976,7 @@ def main() -> None:
     elif args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
     else:
-        report = run_bench(args.sf_dir, args.cores, args.pipeline_only)
+        report = run_bench_quiet(args.sf_dir, args.cores, args.pipeline_only)
         # pipeline-only (smoke) runs get their own verbose file so a
         # quick check can never clobber the round's full-suite record
         path = write_verbose(

@@ -396,6 +396,15 @@ def minhash_lsh_pairs(
     Jaccard >= threshold, so false positives are filtered; false
     negatives are the usual LSH miss probability (tested for recall).
     Returns (a_id, b_id, jaccard).
+
+    Cache lifetime is CALLER-OWNED (same contract as
+    ``minhash_lsh_pairs_cross``): the shingle frame is persisted
+    (consumed by both the signature and the verify legs) and exposed
+    as ``result.lap_persisted`` — after materializing the result,
+    ``for f in result.lap_persisted: f.unpersist()`` frees the
+    blocks; otherwise they live until session end (repeated calls,
+    e.g. bench rep loops and the funnel LSH forms, accumulate cached
+    frames).
     """
     r = num_hashes // bands
     # shingle arrays are consumed twice (signatures + exact verify):
@@ -430,6 +439,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+    out.lap_persisted = (sh,)
     return out
 
 

@@ -193,7 +193,7 @@ def corpus_prep_funnel_neardup(
         qual.join(ev.select(id_col), id_col, "left_anti")
         .join(flagged, id_col, "left_anti")
     )
-    return (
+    report = (
         docs.agg(F.count("*").alias("n_docs"))
         .crossJoin(exact.agg(F.count("*").alias("n_exact")))
         .crossJoin(neardup.agg(F.count("*").alias("n_neardup")))
@@ -207,3 +207,11 @@ def corpus_prep_funnel_neardup(
             )
         )
     )
+    # caller-owned cache lifetime (ADVICE r6): the LSH pair source
+    # persists its shingle frame (consumed by the signature AND verify
+    # legs WITHIN one action — unpersisting before materialization
+    # would recompute it); surface the handle on the report so callers
+    # that materialize repeatedly (bench rep loops) can free the
+    # blocks instead of accumulating them until session end.
+    report.lap_persisted = getattr(pair_df, "lap_persisted", ())
+    return report

@@ -64,11 +64,22 @@ def main() -> int:
     names = args.names or [n for n in qs if n in os_]
     n_fail = 0
     for name in names:
+        def _free(df):
+            # caller-owned cache lifetime: LSH pair plans persist their
+            # shingle frames; free after materialization so a full-set
+            # sweep doesn't accumulate cached blocks across queries
+            for f in getattr(df, "lap_persisted", ()):
+                f.unpersist()
+
         if name not in os_:
-            print(f"{name:32s} NO-ORACLE (rows={qs[name](spark, args.sf).count()})")
+            df = qs[name](spark, args.sf)
+            print(f"{name:32s} NO-ORACLE (rows={df.count()})")
+            _free(df)
             continue
         try:
-            sp = normalize(qs[name](spark, args.sf).toPandas())
+            df = qs[name](spark, args.sf)
+            sp = normalize(df.toPandas())
+            _free(df)
             dk = normalize(con.sql(os_[name]).df())
         except Exception as exc:  # noqa: BLE001
             print(f"{name:32s} ERROR: {exc}")

@@ -107,3 +107,24 @@ def test_neardup_funnel_custom_text_col(spark):
         text_col="body",
     ).first()
     assert row.n_docs == 3 and row.n_exact == 2 and row.n_neardup == 1
+
+
+def test_funnel_lsh_propagates_persisted_handle(spark):
+    """The funnel LSH form embeds minhash_lsh_pairs' persisted shingle
+    frame in its plan; the report must surface that handle
+    (lap_persisted) so bench/sweep callers can free it after
+    materialization (ADVICE r6 #1).  The jaccard form persists
+    nothing, so its handle set is empty."""
+    from log_aggregation_pipeline_spark.plans.corpus_prep import (
+        corpus_prep_funnel_neardup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    report = corpus_prep_funnel_neardup(docs, pairs="lsh")
+    report.collect()
+    assert len(report.lap_persisted) == 1
+    (sh,) = report.lap_persisted
+    assert sh.storageLevel.useMemory
+    sh.unpersist()
+    assert not sh.storageLevel.useMemory
+    assert corpus_prep_funnel_neardup(docs).lap_persisted == ()

@@ -125,17 +125,27 @@ def test_simhash_partial_recall_beyond_guarantee(sf_docs):
 
 
 def test_minhash_oracle_precondition_jaccard_floor(spark):
-    """The driver oracle for doc_minhash_lsh_pairs is exact-set
-    equality, which is sound only because the checked corpus's
+    """The driver oracles for doc_minhash_lsh_pairs AND the funnel LSH
+    forms (corpus_prep_funnel_neardup(pairs="lsh"), ADVICE r6 #2) are
+    exact-set equality, sound only because the checked corpus's
     qualifying pairs sit at jaccard >= 0.8, where the 64x16-band LSH
     per-pair miss probability is ~2e-4.  At the 0.4 threshold itself
-    the miss probability would be ~66% and the gate would flip — so
-    assert the data precondition on the corpus the driver checks."""
+    the miss probability would be ~66% and the gates would flip
+    probabilistically — so assert the data precondition on the corpus
+    the driver checks, for BOTH pair domains: the full doc set (the
+    doc_minhash query) and the exact-dedup keepers (the funnel's pair
+    stage runs over keepers).  If the corpus generator ever changes,
+    THIS named test flips instead of the funnel oracle."""
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     rows = D.ngram_jaccard_pairs(
         docs, threshold=0.4, max_shingle_freq=None
     ).collect()
     assert rows and min(r.jaccard for r in rows) >= 0.8
+    keepers = D.exact_dedup_rows(docs)
+    krows = D.ngram_jaccard_pairs(
+        keepers, threshold=0.4, max_shingle_freq=None
+    ).collect()
+    assert krows and min(r.jaccard for r in krows) >= 0.8
 
 
 def test_embedding_near_dup_matches_bruteforce(sf_emb):
@@ -427,3 +437,75 @@ def test_semdedup_keep_rule(sf_emb):
         )
     # the election must be live (some group has >1 member)
     assert any(len(ms) > 1 for ms in by_group.values())
+
+
+def test_minhash_lsh_pairs_caller_owned_cache(sf_docs):
+    """ADVICE r6 #1: minhash_lsh_pairs persists its shingle frame
+    (consumed by the signature AND verify legs) and must expose the
+    handle as result.lap_persisted — mirroring _cross — so rep-loop
+    callers can free the blocks instead of accumulating them until
+    session end."""
+    pairs = D.minhash_lsh_pairs(sf_docs, num_hashes=64, bands=16, threshold=0.4)
+    pairs.count()  # materialize (the persist fills here)
+    assert len(pairs.lap_persisted) == 1
+    (sh,) = pairs.lap_persisted
+    assert sh.storageLevel.useMemory  # persisted while in use
+    sh.unpersist()
+    assert not sh.storageLevel.useMemory  # freed by the caller
+
+
+def test_semdedup_assignment_near_tie_order_equivalence(spark):
+    """ADVICE r6 #4: semdedup cluster assignment argmaxes UNROUNDED
+    centroid dot products on both engines, so the oracle twin is sound
+    only if Spark's zip_with+aggregate fold and DuckDB's
+    list_dot_product accumulate in the identical (left-to-right)
+    order.  Pin that measured equivalence on adversarial data where
+    the argmax is decided entirely by the last ulp:
+
+    - v=[1,1,1,1] vs c0=[.1,.2,.3,.4] / c1=[.4,.3,.2,.1]: the TRUE
+      dots are equal, but sequential IEEE accumulation yields 1.0 vs
+      0.9999999999999999 — a 1-ulp separation that flips with any
+      reordering;
+    - exact ties (bit-identical dots) must resolve first-max on BOTH
+      sides (array_position/array_max == list_position/list_max);
+    - the mirrored centroid order flips the ulp case to cluster 1.
+
+    If either engine ever changes its accumulation or tie-break, THIS
+    test flips instead of the emb_semdedup_* driver oracles."""
+    import duckdb
+    import pandas as pd
+
+    vecs = [
+        (0, [1.0, 1.0, 1.0, 1.0]),  # 1-ulp separation -> cluster 0
+        (1, [1.0, 0.0, 0.0, 1.0]),  # exact tie -> first max (0)
+        (2, [0.0, 1.0, 1.0, 0.0]),  # exact tie -> first max (0)
+        (3, [3.0, 1.0, 1.0, 3.0]),  # exact tie at larger magnitude
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    con = duckdb.connect()
+    con.register("emb_tie", pd.DataFrame(
+        {"vec_id": [v[0] for v in vecs], "embedding": [v[1] for v in vecs]}
+    ))
+    for cents, expect in (
+        ([[0.1, 0.2, 0.3, 0.4], [0.4, 0.3, 0.2, 0.1]], {0: 0, 1: 0, 2: 0, 3: 0}),
+        ([[0.4, 0.3, 0.2, 0.1], [0.1, 0.2, 0.3, 0.4]], {0: 1, 1: 0, 2: 0, 3: 0}),
+    ):
+        got_spark = {
+            r._id: r.cluster
+            for r in D._semdedup_base(df, cents, "embedding", "vec_id")
+            .select("_id", "cluster").collect()
+        }
+        dots = ", ".join(
+            "list_dot_product(v, [" + ", ".join(repr(x) for x in c) + "])"
+            for c in cents
+        )
+        got_duck = {
+            int(r[0]): int(r[1])
+            for r in con.sql(
+                "SELECT vec_id, list_position(dl, list_max(dl)) - 1 "
+                "FROM (SELECT vec_id, embedding::DOUBLE[] AS v, "
+                f"[{dots}] AS dl FROM emb_tie)"
+            ).fetchall()
+        }
+        assert got_spark == expect, (cents, got_spark)
+        assert got_duck == expect, (cents, got_duck)
