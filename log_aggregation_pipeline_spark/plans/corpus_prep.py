@@ -108,12 +108,18 @@ def corpus_prep_funnel_neardup(
     Single-row report: (n_docs, n_exact, n_neardup, n_quality,
     n_clean, clean_tokens).
 
-    ``pairs`` selects the pair source.  The default ``"jaccard"``
-    (``ngram_jaccard_pairs``) is EXACT-by-contract but its capped
-    shingle self-join's candidate volume (sum of f² over sub-cap
-    shingle frequencies) is still super-linear in corpus size — fine
-    for audits and test scale, NOT the shape to run at 100 TB.
-    **Scale users should pass ``pairs="lsh"``**: banded MinHash buckets
+    ``pairs`` selects the pair source.  **Run ``pairs="lsh"`` (ideally
+    with ``materialize_dir``) for any real workload** — it is both the
+    100 TB shape AND the fastest form at sf0.1 (5.6 s best vs 8.7
+    recompute / 8.8 materialized, BENCH/METHODOLOGY.md).  The default
+    ``"jaccard"`` form is DEPRECATED for scale use and kept only as
+    the bench/oracle twin (its exactness is what lets the driver's
+    funnel oracle apply to the LSH form at this corpus's jaccard
+    floor): it is EXACT-by-contract but its capped shingle self-join's
+    candidate volume (sum of f² over sub-cap shingle frequencies) is
+    super-linear in corpus size — fine for audits and test scale,
+    never the shape to run at 100 TB.  ``pairs="lsh"`` uses banded
+    MinHash buckets
     (``minhash_lsh_pairs``, 64 hashes x 16 bands) + exact-Jaccard
     verify — candidate volume is bounded by bucket collisions, and at
     this corpus's qualifying-pair floor (jaccard >= 0.8) the per-pair
