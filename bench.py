@@ -622,6 +622,17 @@ def contract_line(report: dict) -> str:
     line = json.dumps(compact)
     if len(line.encode()) <= MAX_CONTRACT_LINE_BYTES:
         return line
+    # first degradation step: per-query values at 3dp (ms resolution)
+    # on the LINE only — 4dp stays in the verbose record.  ~1 byte per
+    # query, which is exactly the margin that keeps the FULL query map
+    # on the line as the suite grows (r6 line: 1797/1800 at 4dp; one
+    # added query would otherwise start pruning the cheapest entries)
+    q = compact.get("queries")
+    if isinstance(q, dict):
+        compact["queries"] = {k: round(v, 3) for k, v in q.items()}
+        line = json.dumps(compact)
+        if len(line.encode()) <= MAX_CONTRACT_LINE_BYTES:
+            return line
     compact.pop("queries_median", None)
     # before dropping the per-query map wholesale, prune it to the
     # slowest entries that fit — the expensive queries are the ones a
