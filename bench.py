@@ -117,9 +117,30 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
+    # query-PHASE contention tells (r7): the pipeline probes run in the
+    # first minutes of the suite, but the query phase runs for many
+    # minutes after them — a host phase that starts mid-suite (observed
+    # r7: funnel_lsh 48 s in-bench, 6-8 s standalone minutes later)
+    # left no in-artifact evidence.  Sample the same out-of-band disk
+    # probe every Nth timed query so the verbose record brackets the
+    # whole suite; run_bench_quiet pools these with the pipeline probes
+    # for its retry criterion.
+    query_probe_every = int(
+        os.environ.get("SPARK_GRAFT_QUERY_PROBE_EVERY", "10"))
+    query_probe_log: list[list] = []  # [preceding-query name, seconds]
+
+    def _query_probe(name: str) -> None:
+        scratch = tempfile.mkdtemp(prefix="lap_qprobe_")
+        try:
+            query_probe_log.append([name, disk_probe(scratch)])
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
     def timed(name, fn, reps: int = 3):
         if reps < 1:
             raise ValueError(f"reps must be >= 1, got {reps}")
+        if query_probe_every > 0 and len(timings) % query_probe_every == 0:
+            _query_probe(name)
         ts = []
         out = None
         for _ in range(reps):
@@ -513,6 +534,9 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
                 shutil.rmtree(mat_root, ignore_errors=True)
 
         timed("corpus_prep_funnel_neardup_lsh_mat", _neardup_lsh_mat)
+        # close the bracket: one probe AFTER the last query, so a
+        # phase that starts late in the suite still leaves a tell
+        _query_probe("_end_of_query_phase")
 
     spark.stop()
     total = round(sum(timings.values()), 4)
@@ -558,6 +582,11 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
             "queries_single_shot": single_shot,
             "queries_spread": spreads,
             "queries_reps": reps_log,
+            # [preceding-query, seconds] samples across the query
+            # phase — the in-artifact tell for contention that starts
+            # AFTER the pipeline reps (pooled into the quiet-retry
+            # criterion by run_bench_quiet)
+            "query_phase_disk_probes": query_probe_log,
         },
     }
 
@@ -570,24 +599,49 @@ def run_bench_quiet(sf_dir: str, cores: int, pipeline_only: bool = False) -> dic
     contention, adjudicated only by the builder's clean rerun.  Retry
     the full suite (SPARK_GRAFT_QUIET_RETRIES, default 1 extra
     attempt) and keep the attempt with the quietest probes; the retry
-    count lands in the verbose record, never on the contract line."""
+    count lands in the verbose record, never on the contract line.
+
+    Two independent criteria (r7): the pipeline-rep probes AND the
+    query-phase probe samples must each agree with themselves — a
+    host phase that starts after the pipeline reps (observed r7)
+    otherwise passes the pipeline criterion while the query columns
+    are contaminated."""
     retries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "1"))
     best = None
+    best_worst = float("inf")
     attempts = 0
     for _ in range(retries + 1):
         report = run_bench(sf_dir, cores, pipeline_only)
         attempts += 1
         p = report["pipeline"]
-        if best is None or (
-            p["disk_probe_max_s"] < best["pipeline"]["disk_probe_max_s"]
-        ):
-            best = report
-        if p["disk_probe_max_s"] <= 3 * max(p["disk_probe_median_s"], 1e-9):
+        # the query phase gets its own criterion (r7): the pipeline
+        # probes run in the suite's first minutes, and a host phase
+        # that starts mid-suite (observed r7: funnel_lsh 48 s
+        # in-bench, 6-8 s standalone minutes later) left them quiet.
+        # A run is kept only when BOTH phases' probes agree with
+        # themselves (each max <= ~3x its own median).
+        qp = sorted(s for _, s in report.get("_verbose", {}).get(
+            "query_phase_disk_probes", []))
+        if qp:
+            m = len(qp) // 2
+            qp_med = qp[m] if len(qp) % 2 else (qp[m - 1] + qp[m]) / 2
+            qp_max = qp[-1]
+        else:
+            qp_med = qp_max = 0.0
+        worst = max(p["disk_probe_max_s"], qp_max)
+        if best is None or worst < best_worst:
+            best, best_worst = report, worst
+        pipeline_quiet = (
+            p["disk_probe_max_s"] <= 3 * max(p["disk_probe_median_s"], 1e-9))
+        query_quiet = (not qp) or qp_max <= 3 * max(qp_med, 1e-9)
+        if pipeline_quiet and query_quiet:
             best = report
             break
         print(
-            f"[bench] contended run (disk probe max {p['disk_probe_max_s']} s"
-            f" vs median {p['disk_probe_median_s']} s) — retrying",
+            f"[bench] contended run (pipeline probe max "
+            f"{p['disk_probe_max_s']} s vs median "
+            f"{p['disk_probe_median_s']} s; query-phase probe max "
+            f"{qp_max} s vs median {qp_med} s) — retrying",
             file=sys.stderr,
         )
     best.setdefault("_verbose", {})["quiet_retry_attempts"] = attempts

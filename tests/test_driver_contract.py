@@ -230,6 +230,49 @@ def test_run_bench_quiet_keeps_quietest_attempt(monkeypatch):
     assert out["_verbose"]["quiet_retry_attempts"] == 2
 
 
+def test_run_bench_quiet_query_phase_criterion(monkeypatch):
+    """r7: a host phase that starts AFTER the pipeline reps leaves the
+    pipeline probes quiet while the query columns are contaminated
+    (observed: funnel_lsh 48 s in-bench, 6-8 s standalone).  The
+    query-phase probe samples get their own max<=3x-median criterion;
+    a run is kept only when both phases are quiet."""
+    import bench
+
+    def mk(median, mx, qprobes):
+        return {"metric": "m", "value": 1.0, "unit": "sec",
+                "pipeline": {"disk_probe_median_s": median,
+                             "disk_probe_max_s": mx},
+                "_verbose": {"query_phase_disk_probes": [
+                    [f"q{i}", s] for i, s in enumerate(qprobes)]}}
+
+    # pipeline quiet BOTH attempts; query phase noisy then quiet:
+    # the first attempt must be rejected on the query criterion alone
+    seq = iter([mk(0.2, 0.3, [0.4, 0.5, 48.0]),
+                mk(0.2, 0.3, [0.4, 0.5, 0.6])])
+    monkeypatch.setattr(bench, "run_bench", lambda *a, **k: next(seq))
+    monkeypatch.setenv("SPARK_GRAFT_QUIET_RETRIES", "1")
+    out = bench.run_bench_quiet("sf", 8)
+    assert out["_verbose"]["quiet_retry_attempts"] == 2
+    assert out["_verbose"]["query_phase_disk_probes"][2][1] == 0.6
+
+    # both phases noisy on every attempt: keeps the attempt whose
+    # WORST probe (either phase) is lowest
+    seq = iter([mk(0.2, 0.3, [0.4, 0.5, 40.0]),
+                mk(0.2, 2.9, [0.4, 0.5, 9.0])])
+    monkeypatch.setattr(bench, "run_bench", lambda *a, **k: next(seq))
+    out = bench.run_bench_quiet("sf", 8)
+    assert out["_verbose"]["query_phase_disk_probes"][2][1] == 9.0
+
+    # no query-phase samples (pipeline-only runs): criterion is
+    # vacuously true — behavior identical to the r6 path
+    seq = iter([{"metric": "m", "value": 1.0, "unit": "sec",
+                 "pipeline": {"disk_probe_median_s": 0.2,
+                              "disk_probe_max_s": 0.3}}])
+    monkeypatch.setattr(bench, "run_bench", lambda *a, **k: next(seq))
+    out = bench.run_bench_quiet("sf", 8)
+    assert out["_verbose"]["quiet_retry_attempts"] == 1
+
+
 def test_query_and_oracle_keys_in_sync():
     q = set(E.queries())
     o = set(E.oracle_sql())
