@@ -750,6 +750,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bullet_frac", "ellipsis_frac", "alpha_word_frac", "stop_hits",
         "gopher_pass",
     )
+    # model-based quality gate (GPT-3 appendix A / DCLM / RefinedWeb
+    # classifier-filter pattern): frozen integer nano-unit weights
+    # (trained driver-side on a bounded weak-labeled sample, literals
+    # embedded in BOTH engines), scored as a pure integer codegen
+    # projection — no float in the scored plan, hash-exact twin
+    from log_aggregation_pipeline_spark.operators import quality_model
+
+    q["doc_quality_classifier"] = lambda s, d: quality_model.score_quality_clf(
+        _docs(s, d)
+    ).select(
+        "doc_id", "f_ntok", "f_nchars", "f_mtl_c100", "f_punct_ppm",
+        "f_stop_ppm", "f_uniq_ppm", "quality_logit_nano", "clf_pass",
+    )
     q["doc_lang_id"] = lambda s, d: text_analysis.lang_id(_docs(s, d)).select(
         "doc_id", "lang_pred", "lang_hits"
     )
@@ -1198,6 +1211,13 @@ def oracle_sql() -> dict[str, str]:
     )
     o["doc_vocab_stats"] = oracle.vocab_stats_sql(100)
     o["doc_gopher_quality"] = oracle.gopher_sql(text_analysis.GOPHER_STOPS)
+    from log_aggregation_pipeline_spark.operators import quality_model
+
+    o["doc_quality_classifier"] = oracle.quality_clf_sql(
+        quality_model.QUALITY_CLF_WEIGHTS_NANO,
+        quality_model.QUALITY_CLF_BIAS_NANO,
+        text_analysis.STOPWORDS,
+    )
     o["dataset_card"] = oracle.dataset_card_sql(
         text_analysis.STOPWORDS, text_analysis.LANG_MARKERS,
         text_analysis.GOPHER_STOPS, quality_min=1.0,

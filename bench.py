@@ -362,6 +362,13 @@ def run_bench(sf_dir: str, cores: int, pipeline_only: bool = False) -> dict:
         timed("doc_gopher_quality", lambda: noop(gopher_rules(docs).select(
             "doc_id", "mean_word_len", "alpha_word_frac", "stop_hits",
             "gopher_pass")))
+        from log_aggregation_pipeline_spark.operators.quality_model import (
+            score_quality_clf,
+        )
+
+        # model-based gate: literal integer weights, projection-only
+        timed("doc_quality_clf", lambda: noop(score_quality_clf(docs).select(
+            "doc_id", "quality_logit_nano", "clf_pass")))
         from log_aggregation_pipeline_spark.operators.text_analysis import (
             gopher_repetition_rules,
         )

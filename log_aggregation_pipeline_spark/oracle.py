@@ -1227,6 +1227,52 @@ FROM r
 """
 
 
+def quality_clf_sql(
+    weights_nano: tuple[int, ...],
+    bias_nano: int,
+    stopwords: tuple[str, ...],
+) -> str:
+    """Twin of quality_model.score_quality_clf: the same six integer
+    features (true integer division ``//`` — identical to Spark's
+    ``div`` because every numerator is non-negative) dotted with the
+    same literal nano-unit weights.  Pure integers end to end, so the
+    hash compare has no float to disagree on."""
+    stop_list = ", ".join(f"'{w}'" for w in stopwords)
+    f_names = ("f_ntok", "f_nchars", "f_mtl_c100",
+               "f_punct_ppm", "f_stop_ppm", "f_uniq_ppm")
+    dot = " + ".join(
+        f"({f} * CAST({int(w)} AS BIGINT))"
+        for f, w in zip(f_names, weights_nano)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST({N_TOKENS_SQL} AS BIGINT) AS n_tok,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS n_punct,
+    len(list_filter(string_split({NORM_SQL}, ' '),
+                    x -> x IN ({stop_list}))) AS n_stop,
+    len(list_distinct(string_split({NORM_SQL}, ' '))) AS n_uniq
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    n_tok AS f_ntok,
+    n_chars AS f_nchars,
+    (100 * n_chars) // greatest(n_tok, 1) AS f_mtl_c100,
+    (1000000 * n_punct) // greatest(n_chars, 1) AS f_punct_ppm,
+    (1000000 * n_stop) // greatest(n_tok, 1) AS f_stop_ppm,
+    (1000000 * n_uniq) // greatest(n_tok, 1) AS f_uniq_ppm
+  FROM base
+)
+SELECT doc_id, f_ntok, f_nchars, f_mtl_c100, f_punct_ppm, f_stop_ppm,
+  f_uniq_ppm,
+  CAST({int(bias_nano)} AS BIGINT) + {dot} AS quality_logit_nano,
+  (CAST({int(bias_nano)} AS BIGINT) + {dot}) >= 0 AS clf_pass
+FROM f
+"""
+
+
 def vocab_stats_sql(top: int) -> str:
     """Twin of text_analysis.vocab_stats: occurrences via unnest of
     the full (non-distinct) token list, doc frequency via
