@@ -83,23 +83,29 @@ def clf_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     fragments."""
     c = F.col(text_col)
     norm = normalize_text(text_col)
+    # every count is cast to LONG at creation: F.size()/F.length()
+    # return IntegerType, and `1000000 * int32` overflows at >2147
+    # tokens BEFORE the div widens — an ANSI-mode crash (or, with ANSI
+    # off, a silent wrong value the BIGINT DuckDB twin would expose as
+    # a hash mismatch) on any real-length document
     base = (
-        df.withColumn("_ntok", whitespace_token_count(text_col))
-        .withColumn("_nchars", F.length(c))
+        df.withColumn(
+            "_ntok", whitespace_token_count(text_col).cast("long"))
+        .withColumn("_nchars", F.length(c).cast("long"))
         .withColumn(
             "_npunct",
             F.size(F.regexp_extract_all(
-                c, F.lit(r"[^\w \t\n\x0B\f\r]"), F.lit(0))),
+                c, F.lit(r"[^\w \t\n\x0B\f\r]"), F.lit(0))).cast("long"),
         )
         .withColumn("_t", F.split(norm, " "))
     )
     n_stop = F.size(F.filter(F.col("_t"), lambda t: t.isin(*STOPWORDS)))
     n_uniq = F.size(F.array_distinct("_t"))
     out = (
-        base.withColumn("_nstop", n_stop)
-        .withColumn("_nuniq", n_uniq)
-        .withColumn("f_ntok", F.col("_ntok").cast("long"))
-        .withColumn("f_nchars", F.col("_nchars").cast("long"))
+        base.withColumn("_nstop", n_stop.cast("long"))
+        .withColumn("_nuniq", n_uniq.cast("long"))
+        .withColumn("f_ntok", F.col("_ntok"))
+        .withColumn("f_nchars", F.col("_nchars"))
         .withColumn(
             "f_mtl_c100",
             F.expr("(100 * _nchars) div greatest(_ntok, 1)"),

@@ -62,29 +62,37 @@ def main() -> int:
 
     qs, os_ = E.queries(), E.oracle_sql()
     names = args.names or [n for n in qs if n in os_]
+    def _free(df):
+        # caller-owned cache lifetime: LSH pair plans persist their
+        # shingle frames; free after materialization so a full-set
+        # sweep doesn't accumulate cached blocks across queries
+        for f in getattr(df, "lap_persisted", ()):
+            f.unpersist()
+
     n_fail = 0
     for name in names:
-        def _free(df):
-            # caller-owned cache lifetime: LSH pair plans persist their
-            # shingle frames; free after materialization so a full-set
-            # sweep doesn't accumulate cached blocks across queries
-            for f in getattr(df, "lap_persisted", ()):
-                f.unpersist()
-
         if name not in os_:
             df = qs[name](spark, args.sf)
-            print(f"{name:32s} NO-ORACLE (rows={df.count()})")
-            _free(df)
+            try:
+                print(f"{name:32s} NO-ORACLE (rows={df.count()})")
+            finally:
+                _free(df)
             continue
+        df = None
         try:
             df = qs[name](spark, args.sf)
             sp = normalize(df.toPandas())
-            _free(df)
             dk = normalize(con.sql(os_[name]).df())
         except Exception as exc:  # noqa: BLE001
+            # free in the error path too: a query failing mid-action
+            # must not leave its persisted blocks cached for the rest
+            # of a multi-hundred-query sweep
             print(f"{name:32s} ERROR: {exc}")
             n_fail += 1
             continue
+        finally:
+            if df is not None:
+                _free(df)
         rows_ok = len(sp) == len(dk)
         cols_ok = list(sp.columns) == list(dk.columns)
         val_ok = rows_ok and cols_ok and sp.astype(str).equals(dk.astype(str))

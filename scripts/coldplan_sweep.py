@@ -23,7 +23,7 @@ import sys
 
 _CHILD = r"""
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[3])  # repo root, passed by the parent
 name, sf = sys.argv[1], sys.argv[2]
 from log_aggregation_pipeline_spark.session import get_spark
 import __spark_entry__ as E
@@ -41,14 +41,22 @@ spark.stop()
 
 
 def one_rep(name: str, sf: str) -> float:
+    import pathlib
+
+    repo = str(pathlib.Path(__file__).resolve().parents[1])
+    # no check=True: a nonzero child (query-name typo, Spark failure)
+    # must surface its captured stderr tail, not a bare exit code
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, name, sf],
-        capture_output=True, text=True, check=True,
+        [sys.executable, "-c", _CHILD, name, sf, repo],
+        capture_output=True, text=True,
     )
     for line in out.stdout.splitlines():
         if line.startswith("COLDPLAN "):
             return float(line.split()[1])
-    raise RuntimeError(f"no timing line for {name}: {out.stderr[-500:]}")
+    raise RuntimeError(
+        f"no timing line for {name} (exit {out.returncode}): "
+        f"{out.stderr[-500:]}"
+    )
 
 
 def main() -> None:

@@ -150,6 +150,42 @@ def test_features_match_duckdb_on_edge_texts(spark):
     )
 
 
+def test_no_int32_overflow_on_long_documents(spark):
+    """Regression: F.size()/F.length() are IntegerType and
+    `1000000 * int32` overflows at >2147 tokens before the div widens
+    — an ANSI-mode ArithmeticException on any real-length document
+    (found by the r7 self-review, reproduced on Spark 4.1.2).  A
+    3000-distinct-token doc must score without error and match the
+    BIGINT DuckDB twin cell for cell."""
+    from log_aggregation_pipeline_spark import oracle
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        STOPWORDS,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(3000)) + " !!! the"
+    pdf = pd.DataFrame({"doc_id": [0], "text": [text]})
+    sp = (
+        score_quality_clf(spark.createDataFrame(pdf))
+        .select("doc_id", *QUALITY_CLF_FEATURES,
+                "quality_logit_nano", "clf_pass")
+        .toPandas()
+    )
+    assert sp.f_ntok[0] == 3002 and sp.f_uniq_ppm[0] > 0
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = oracle.quality_clf_sql(
+        QUALITY_CLF_WEIGHTS_NANO, QUALITY_CLF_BIAS_NANO, STOPWORDS
+    )
+    dk = con.sql(
+        f"SELECT doc_id, {', '.join(QUALITY_CLF_FEATURES)}, "
+        "quality_logit_nano, clf_pass FROM (" + sql + ")"
+    ).df()
+    pd.testing.assert_frame_equal(
+        sp.reset_index(drop=True), dk.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_weight_arity_validated():
     # arity is checked before any plan is constructed, so no frame is
     # needed to trip it
