@@ -475,3 +475,60 @@ def test_corpus_mix_budget_properties(docs, budget):
                 break
             expect.append(i)
         assert sorted(r.doc_id for r in sel.get(src, [])) == sorted(expect)
+
+
+# -- quality-classifier feature dialect parity (r7) -------------------------
+# The classifier's six integer features must agree between the Spark
+# expressions and the DuckDB twin on ARBITRARY unicode text, not just
+# the corpus and the hand-picked edge rows — any divergence here is a
+# Java-vs-RE2 regex or split-semantics drift that would eventually
+# surface as a driver hash mismatch on some future corpus.
+clf_text_strategy = st.one_of(
+    st.text(max_size=120),  # arbitrary unicode incl. controls
+    st.from_regex(r"[ \t\n\x0b\f\r]{0,6}", fullmatch=True),
+    st.from_regex(
+        r"(the|a|of|zz|única|#|\.\.\.|[0-9]{1,4})([ \t]"
+        r"(the|a|of|zz|única|#|\.\.\.|[0-9]{1,4})){0,20}",
+        fullmatch=True,
+    ),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=st.lists(clf_text_strategy, min_size=1, max_size=30))
+def test_quality_clf_features_match_duckdb(texts):
+    import duckdb
+
+    from log_aggregation_pipeline_spark import oracle
+    from log_aggregation_pipeline_spark.operators.quality_model import (
+        QUALITY_CLF_BIAS_NANO,
+        QUALITY_CLF_FEATURES,
+        QUALITY_CLF_WEIGHTS_NANO,
+        clf_features,
+    )
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        STOPWORDS,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    sp = (
+        clf_features(_get_spark().createDataFrame(pdf))
+        .select("doc_id", *QUALITY_CLF_FEATURES)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = oracle.quality_clf_sql(
+        QUALITY_CLF_WEIGHTS_NANO, QUALITY_CLF_BIAS_NANO, STOPWORDS
+    )
+    dk = con.sql(
+        f"SELECT doc_id, {', '.join(QUALITY_CLF_FEATURES)} FROM ({sql}) "
+        "ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        sp.reset_index(drop=True), dk.reset_index(drop=True),
+        check_dtype=False,
+    )
