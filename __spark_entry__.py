@@ -977,9 +977,12 @@ def oracle_sql() -> dict[str, str]:
           AND contains(lower(text), '{SEARCH_Q.query}')
         ORDER BY ts ASC, conv_id ASC, turn_idx ASC
         LIMIT {SEARCH_Q.limit} OFFSET {SEARCH_Q.offset}"""
+    # trim(text, ' '): DuckDB's bare trim strips Unicode spaces,
+    # Spark's F.trim (the processor being twinned) is ASCII-space only
     o["processor_chain"] = transcripts_cte("events") + """
-        SELECT conv_id, turn_idx, lower(trim(text)) AS text FROM transcripts
-        WHERE contains(lower(trim(text)), 'error')"""
+        SELECT conv_id, turn_idx, lower(trim(text, ' ')) AS text
+        FROM transcripts
+        WHERE contains(lower(trim(text, ' ')), 'error')"""
     o["point_lookup_by_id"] = P + """
         SELECT id, conv_id, turn_idx, text FROM parsed
         WHERE conv_id = 'conv_00007' AND turn_idx = 2"""

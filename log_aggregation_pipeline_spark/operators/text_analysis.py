@@ -930,7 +930,8 @@ def line_dedup(
     inside one doc has df=1 here.
 
     Lines split on ``\\n`` with positions preserved; the match key is
-    ``trim(line)`` (both engines trim ASCII spaces only, so CRLF
+    ``trim(line, ' ')`` in the twin — DuckDB's bare trim also strips
+    Unicode spaces, Spark's F.trim is ASCII-space only (so CRLF
     residue behaves identically); empty-trim lines are separators,
     never dropped, and never counted in the drop set.  ``clean_text``
     reassembles the KEPT lines' original (untrimmed) text in document

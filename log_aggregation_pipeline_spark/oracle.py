@@ -212,7 +212,12 @@ FROM lagged WHERE rank <= {top_k}
 # ---------------------------------------------------------------------------
 # whitespace spelled out instead of \s (Java \s has \x0B, RE2's does
 # not) — must stay in lockstep with dedupe.normalize_text
-NORM_SQL = r"regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')"
+# trim(text, ' ') NOT bare trim(): DuckDB's default trim strips
+# Unicode spaces (U+00A0 etc. — found by the r7 gopher property test:
+# norm of a lone NBSP was '' in DuckDB, the NBSP itself in Spark,
+# flipping n_tokens 0 vs 1) while Spark's F.trim strips ASCII space
+# only.  The engine is the spec, so the twin pins the char set.
+NORM_SQL = r"regexp_replace(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+', ' ', 'g')"
 # DuckDB twin of text_analysis.whitespace_token_count — ONE definition;
 # five oracle builders share it, and drift in any copy would break one
 # oracle while the others stay green
@@ -573,7 +578,7 @@ def chunk_documents_sql(
     return f"""
 WITH toks AS (
   SELECT doc_id, {tok_expr} AS t
-  FROM documents WHERE trim(text) != ''
+  FROM documents WHERE trim(text, ' ') != ''
 ),
 starts AS (
   SELECT doc_id, t, len(t) AS n,
@@ -814,7 +819,7 @@ WITH lx AS (
   FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)
 ),
 lines AS (
-  SELECT doc_id, s.pos AS pos, s.line AS line, trim(s.line) AS k FROM lx
+  SELECT doc_id, s.pos AS pos, s.line AS line, trim(s.line, ' ') AS k FROM lx
 ),
 drops AS (
   SELECT k FROM lines WHERE k <> ''

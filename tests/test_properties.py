@@ -532,3 +532,45 @@ def test_quality_clf_features_match_duckdb(texts):
         sp.reset_index(drop=True), dk.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(st.one_of(
+    st.text(max_size=150),
+    st.from_regex(
+        r"((the|and|of|to|zz|-|\*|•|#|\.\.\.|…|wörd|[0-9]{1,3})"
+        r"[ \t\n]){0,30}", fullmatch=True),
+), min_size=1, max_size=25))
+def test_gopher_rules_match_duckdb(texts):
+    """The Gopher gate is load-bearing (the funnels and dataset_card
+    compose on it) — its six metrics + pass flag must agree with the
+    SQL twin on arbitrary unicode, incl. newlines, bullets, ellipses
+    and non-ASCII words, not just the corpus."""
+    import duckdb
+
+    from log_aggregation_pipeline_spark import oracle
+    from log_aggregation_pipeline_spark.operators.text_analysis import (
+        GOPHER_STOPS,
+        gopher_rules,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    cols = ["doc_id", "n_tokens", "mean_word_len", "symbol_ratio",
+            "bullet_frac", "ellipsis_frac", "alpha_word_frac",
+            "stop_hits", "gopher_pass"]
+    sp = (
+        gopher_rules(_get_spark().createDataFrame(pdf))
+        .select(*cols)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    dk = con.sql(
+        f"SELECT {', '.join(cols)} FROM ({oracle.gopher_sql(GOPHER_STOPS)}) "
+        "ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        sp.reset_index(drop=True), dk.reset_index(drop=True),
+        check_dtype=False,
+    )
