@@ -64,11 +64,18 @@ def connected_components(
     filters are reproducible.  Nodes not in any pair are not emitted
     (singletons are already their own keeper by definition).
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .distinct()
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).union(
+        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
     )
+    # No distinct(): every pair source in this repo emits each
+    # unordered pair once (jaccard/LSH/simhash/embedding pairs all
+    # aggregate or distinct before returning), so the union of both
+    # directions is already duplicate-free — the distinct was a full
+    # extra shuffle+aggregate per CC call buying nothing.  Min-label
+    # propagation is idempotent to duplicate edges anyway (a dup only
+    # re-feeds the same min into the neighbor-min aggregate), so even
+    # an external caller with a duplicated pair list gets identical
+    # components — the cost would be edge-table size, not correctness.
     # edges participate in every round: materialize once
     edges = edges.localCheckpoint(eager=True)
 
@@ -76,6 +83,8 @@ def connected_components(
         F.col("u").alias("node"), F.col("u").alias("label")
     )
     labels = labels.localCheckpoint(eager=True)
+    labels_ck = labels  # the checkpoint handle backing ``labels``
+    label_type = dict(labels.dtypes)["label"]
 
     # unpersist the edges checkpoint on EVERY exit (converged or not):
     # the final labels checkpoint's lineage is truncated, so the result
@@ -86,15 +95,30 @@ def connected_components(
     # ContextCleaner when the caller drops the DataFrame.
     try:
         for _ in range(max_iter):
-            # 1) neighbor-min: min over own and all neighbors' labels
+            # 1) neighbor-min: min over own and all neighbors' labels.
+            # The node's OWN (old) label rides the same aggregate in a
+            # second min column (tagged rows from ``labels`` carry it,
+            # neighbor rows carry NULL), so change detection needs no
+            # separate join: the r7 form ran an extra shuffle join +
+            # isEmpty scan per round just to compare new vs old.
             nbr = (
                 edges.join(labels, edges.v == labels.node)
-                .select(edges.u.alias("node"), "label")
+                .select(
+                    edges.u.alias("node"),
+                    "label",
+                    F.lit(None).cast(label_type).alias("_own"),
+                )
             )
             new_labels = (
-                nbr.union(labels)
+                nbr.union(
+                    labels.select("node", "label", F.col("label").alias("_own"))
+                )
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    # each node contributes exactly one non-null _own
+                    F.min("_own").alias("_own"),
+                )
             )
             # 2) pointer jump: l(v) <- l(l(v)) — doubles reach
             lbl2 = new_labels.select(
@@ -102,25 +126,30 @@ def connected_components(
             )
             new_labels = (
                 new_labels.join(lbl2, new_labels.label == lbl2.p_node)
-                .select("node", F.col("p_label").alias("label"))
+                .select(
+                    "node",
+                    F.col("p_label").alias("label"),
+                    (F.col("p_label") != F.col("_own")).alias("_chg"),
+                )
             )
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # checkpoint the frame WITH the change flag; keep the
+            # checkpoint handle itself for _free_checkpoint (freeing a
+            # projection over it would miss the underlying RDD blocks)
+            ck = new_labels.localCheckpoint(eager=True)
 
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .where(F.col("n.label") != F.col("o.label"))
-            )
-            old = labels
-            labels = new_labels
-            if changed.isEmpty():
-                _free_checkpoint(old)
+            old_ck = labels_ck
+            labels_ck = ck
+            labels = ck.drop("_chg")
+            # convergence probe over the CHECKPOINTED (in-memory) rows
+            # — a filter scan of cached blocks, not a join
+            if ck.where("_chg").isEmpty():
+                _free_checkpoint(old_ck)
                 return labels.select(
                     F.col("node"), F.col("label").alias("component")
                 )
-            _free_checkpoint(old)
+            _free_checkpoint(old_ck)
 
-        _free_checkpoint(labels)
+        _free_checkpoint(labels_ck)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "component diameter exceeds 2^max_iter; raise max_iter"

@@ -163,7 +163,7 @@ def semantic_contaminated(
     side to an explicit ``F.broadcast`` cross join — the same
     per-row arithmetic executed through a build-side hash relation
     instead of the expression tree."""
-    from .similarity import dot_expr, norm_expr
+    from .similarity import dot_expr, double_array_lit, norm_expr
 
     import numpy as np
 
@@ -178,7 +178,7 @@ def semantic_contaminated(
     scored = []
     for eid, ve in eval_vectors:
         v = np.asarray(ve, dtype=np.float64)
-        lit = F.array(*[F.lit(float(x)).cast("double") for x in v])
+        lit = double_array_lit(v)
         cos = dot_expr(F.col("_v"), lit) / (
             F.col("_n") * F.lit(float(np.linalg.norm(v)))
         )

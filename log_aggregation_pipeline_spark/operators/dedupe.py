@@ -168,22 +168,66 @@ def ngram_jaccard_pairs(
     ``dropped_shingle_stats`` to log what the cap removed (no silent
     truncation).
     """
+    # r8 shape: ONE explode pass feeds everything.  The r7 form built
+    # four independent references to the shingle subtree (freq table,
+    # both self-join sides, and a separate per-doc ``sizes`` table
+    # joined back twice) — Catalyst does not dedupe subplans, so the
+    # physical plan evaluated the scan + shingle HOFs SIX times (12
+    # FileScans, 16 Exchanges at sf0.1).  Here the doc's shingle-set
+    # size rides each exploded row (one int column), the self-join is
+    # replaced by per-shingle pair GENERATION (collect the shingle's
+    # member list — bounded by ``max_shingle_freq`` — and emit the
+    # ordered pairs with one HOF), and the two size joins disappear
+    # because na/nb are constant per group.  Candidate volume is the
+    # same sum-of-f² the join produced; the work just no longer
+    # re-derives its inputs per reference.  2 evaluations of the
+    # shingle projection remain (the freq pre-filter below) vs 6.
     sh = _shingle_df(df, k, text_col, id_col)
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    ex = _explode_shingles(sh)
+    ex = sh.select(
+        "_id", F.size("_sh").alias("_n"), F.explode_outer("_sh").alias("_s")
+    )
     if max_shingle_freq is not None:
+        # count-first pre-filter, THEN collect: the collect_list
+        # aggregate below must never buffer a super-cap stop-shingle's
+        # full membership (at corpus scale that is the OOM path); the
+        # count aggregate's state is O(1) per key and the semi-join
+        # drops hot shingles before any list exists.
         freq = ex.groupBy("_s").agg(F.count("*").alias("_f"))
         ex = ex.join(freq.filter(F.col("_f") <= max_shingle_freq), "_s", "left_semi")
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
-        .agg(F.count("*").alias("n_common"))
+    members = (
+        ex.groupBy("_s")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_n"))).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+        .select("_ms")
+    )
+    # ordered pairs (a_id < b_id) per shingle: _ms is sorted by the
+    # unique _id, so pairing element i with elements i+1.. preserves
+    # the a < b convention of the old self-join exactly.
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ms") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("_ms"), (i + 1).cast("int"), F.size("_ms")),
+                        lambda m2: F.struct(
+                            F.element_at(F.col("_ms"), i.cast("int"))["_id"].alias("a_id"),
+                            F.element_at(F.col("_ms"), i.cast("int"))["_n"].alias("na"),
+                            m2["_id"].alias("b_id"),
+                            m2["_n"].alias("nb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select("_p.a_id", "_p.na", "_p.b_id", "_p.nb")
+    common = pairs.groupBy("a_id", "b_id").agg(
+        F.count("*").alias("n_common"),
+        F.min("na").alias("na"),  # constant per a_id — min == the value
+        F.min("nb").alias("nb"),
     )
     out = (
-        common.join(sizes.withColumnsRenamed({"_id": "a_id", "_n": "na"}), "a_id")
-        .join(sizes.withColumnsRenamed({"_id": "b_id", "_n": "nb"}), "b_id")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
@@ -747,17 +791,11 @@ def _semdedup_base(
     where _ccos is the 6dp-rounded cosine to the ASSIGNED centroid —
     free given the dot array (centroids are unit vectors, so it is
     array_max(dl)/|v|)."""
-    from .similarity import dot_expr, norm_expr
+    from .similarity import dot_expr, double_array_lit, norm_expr
 
     vec = F.col(vec_col).cast("array<double>")
     dl = F.array(
-        *[
-            dot_expr(
-                F.col("_v"),
-                F.array(*[F.lit(float(x)).cast("double") for x in c]),
-            )
-            for c in centroids
-        ]
+        *[dot_expr(F.col("_v"), double_array_lit(c)) for c in centroids]
     )
     return (
         df.select(F.col(id_col).alias("_id"), vec.alias("_v"))
@@ -765,7 +803,21 @@ def _semdedup_base(
         .withColumn("_dl", dl)
         .withColumn(
             "cluster",
-            (F.array_position("_dl", F.array_max("_dl")) - 1).cast("int"),
+            # coalesce makes the column NON-NULLABLE (r8): the pair
+            # stage equi-joins on cluster, and a nullable join key
+            # makes Catalyst push an isnotnull(cluster) filter below
+            # this projection — inlining the ENTIRE centroid fold
+            # (twice: array_position + array_max) into a Filter
+            # operator on both join sides (the repo's
+            # filter-on-nested-HOF gotcha, measured 11x).  cluster is
+            # only ever null for a null embedding, whose pairs are
+            # dropped downstream anyway (null cosine fails the
+            # threshold filter), so mapping that row to sentinel -1
+            # changes no output row on any input.
+            F.coalesce(
+                (F.array_position("_dl", F.array_max("_dl")) - 1).cast("int"),
+                F.lit(-1),
+            ),
         )
         .withColumn("_ccos", F.round(F.array_max("_dl") / F.col("_n"), 6))
         .select("_id", "_v", "_n", "cluster", "_ccos")

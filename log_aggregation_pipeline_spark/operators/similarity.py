@@ -28,6 +28,38 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def double_array_lit(values) -> Column:
+    """A literal ``array<double>`` built in ONE py4j call.
+
+    ``F.array(*[F.lit(float(x)).cast("double") for x in v])`` costs
+    2+ JVM round-trips PER ELEMENT — measured (r8) 47 ms vs 3 ms for a
+    64-dim vector, and the literal-heavy embedding queries (20x64
+    eval vectors, 8x64 centroid arrays) spent 2-4 s per plan BUILD in
+    that chatter.  A single ``F.expr("array(<v>D, ...)")`` parses
+    JVM-side; the ``D`` suffix makes each element a DoubleType
+    literal, and ``repr(float)`` round-trips every finite double
+    exactly (both sides parse correctly-rounded — bit-equality
+    verified incl. -0.0/denormals/17-digit values), so the folded
+    plan is bit-identical to the per-element form.  Non-finite
+    values fall back to the per-element path (repr('inf') is not
+    valid SQL)."""
+    import math
+
+    vals = [float(x) for x in values]
+    if not all(map(math.isfinite, vals)):
+        return F.array(*[F.lit(v).cast("double") for v in vals])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+
+
+def int_array_lit(values) -> Column:
+    """Literal ``array<int>`` in one py4j call (``double_array_lit``
+    rationale; int literals in Spark SQL are IntegerType when they
+    fit, matching the per-element ``F.lit(int)`` form)."""
+    vals = [int(x) for x in values]
+    assert all(-(2**31) <= v < 2**31 for v in vals)
+    return F.expr("array(" + ",".join(str(v) for v in vals) + ")")
+
+
 def dot_expr(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
@@ -67,7 +99,7 @@ def brute_topk(
     The query vector is a Catalyst literal array — broadcast for free
     with the plan, no Python in the score path.  orderBy+limit plans
     as TakeOrderedAndProject (per-partition heap + driver merge)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    q = double_array_lit(query_vec)
     scored = df.select(
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col).cast("array<double>"), q), 6).alias(
@@ -115,7 +147,7 @@ def bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     """b-bit sign bucket as pure expressions: bit i = (v . h_i) > 0."""
     bits = []
     for i, h in enumerate(planes):
-        lit_h = F.array(*[F.lit(float(x)) for x in h])
+        lit_h = double_array_lit(h)
         bits.append(
             F.when(dot_expr(F.col(vec_col).cast("array<double>"), lit_h) > 0, 1)
             .otherwise(0)
@@ -389,7 +421,7 @@ def rp_project(
         # distinguishes them; adding +0.0 is exact for every double
         # and maps -0.0 -> 0.0 on BOTH sides (twin does the same)
         (F.round(
-            dot_expr(v, F.array(*[F.lit(float(x)) for x in h])) * scale, 6
+            dot_expr(v, double_array_lit(h)) * scale, 6
         ) + F.lit(0.0)).alias(f"rp_{j}")
         for j, h in enumerate(planes)
     ]

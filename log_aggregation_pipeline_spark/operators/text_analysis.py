@@ -823,10 +823,17 @@ def ngram_logppl(
         _shingle_df,
     )
 
+    from log_aggregation_pipeline_spark.operators.similarity import (
+        int_array_lit,
+    )
+
     table = log_df_micronats(cap)
     ex = _explode_shingles(_shingle_df(df, k, text_col, id_col))
     dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
-    lit_table = F.lit(table)  # constant-folded ArrayType literal
+    # constant-folded ArrayType literal, built in ONE py4j call
+    # (F.lit(list) expands to one JVM round-trip per element — ~1 s
+    # of plan-build for the 1024-entry table; see double_array_lit)
+    lit_table = int_array_lit(table)
     mu = F.element_at(lit_table, F.least(F.col("_df"), F.lit(cap)).cast("int"))
     agg = (
         ex.join(dfreq, "_s")
@@ -888,6 +895,10 @@ def tfidf_keywords(
     needs no countDistinct) + an AQE-splittable equi-join + a per-doc
     window bounded by the doc's distinct-term count.  The micronat
     table is a foldable literal riding the join projection."""
+    from log_aggregation_pipeline_spark.operators.similarity import (
+        int_array_lit,
+    )
+
     table = log_df_micronats(cap)
     toks = (
         df.select(
@@ -900,7 +911,7 @@ def tfidf_keywords(
     tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf_u = F.lit(table[cap - 1]) - F.element_at(
-        F.lit(table), F.least(F.col("df"), F.lit(cap)).cast("int")
+        int_array_lit(table), F.least(F.col("df"), F.lit(cap)).cast("int")
     )
     scored = tf.join(dfreq, "term").withColumn(
         "tfidf_u", (F.col("tf") * idf_u).cast("long")

@@ -53,9 +53,6 @@ def corpus_prep_funnel(
     """Single-row funnel report:
     (n_docs, n_keepers, n_quality, n_clean, clean_tokens)."""
     keepers = exact_dedup_rows(docs, text_col=text_col, id_col=id_col)
-    qual = quality_features(keepers, text_col=text_col).filter(
-        F.col("quality_score") >= quality_min
-    )
     ev = eval_split(docs, n_eval, id_col)
     flagged = contaminated_docs(
         docs.join(ev.select(id_col), id_col, "left_anti"),
@@ -64,22 +61,33 @@ def corpus_prep_funnel(
         text_col=text_col,
         id_col=id_col,
     ).select(id_col)
-    clean = (
-        qual.join(ev.select(id_col), id_col, "left_anti")
-        .join(flagged, id_col, "left_anti")
-    )
-    return (
-        docs.agg(F.count("*").alias("n_docs"))
-        .crossJoin(keepers.agg(F.count("*").alias("n_keepers")))
-        .crossJoin(qual.agg(F.count("*").alias("n_quality")))
-        .crossJoin(
-            clean.agg(
-                F.count("*").alias("n_clean"),
-                F.coalesce(
-                    F.sum(whitespace_token_count(text_col)), F.lit(0)
-                ).cast("long").alias("clean_tokens"),
-            )
+    # ONE annotated pass over the keepers (r8): the r7 form referenced
+    # the exact-dedup window subtree from three independent aggregates
+    # (n_keepers, n_quality, the clean count/token agg) — Catalyst
+    # does not dedupe subplans, so each crossJoined report column
+    # re-ran the scan + hash + window shuffle.  Flags via LEFT joins
+    # (the drop/eval/flag sets all carry UNIQUE ids, so a left join
+    # marks without duplicating — exactly the anti/semi-join row
+    # sets) + one conditional aggregate produce identical counts.
+    ann = (
+        quality_features(keepers, text_col=text_col)
+        .join(
+            ev.select(id_col).withColumn("_ev", F.lit(True)), id_col, "left"
         )
+        .join(flagged.withColumn("_fl", F.lit(True)), id_col, "left")
+    )
+    is_qual = F.col("quality_score") >= quality_min
+    is_clean = is_qual & F.col("_ev").isNull() & F.col("_fl").isNull()
+    stats = ann.agg(
+        F.count("*").alias("n_keepers"),
+        F.count(F.when(is_qual, 1)).alias("n_quality"),
+        F.count(F.when(is_clean, 1)).alias("n_clean"),
+        F.coalesce(
+            F.sum(F.when(is_clean, whitespace_token_count(text_col))), F.lit(0)
+        ).cast("long").alias("clean_tokens"),
+    )
+    return docs.agg(F.count("*").alias("n_docs")).crossJoin(stats).select(
+        "n_docs", "n_keepers", "n_quality", "n_clean", "clean_tokens"
     )
 
 
@@ -183,10 +191,6 @@ def corpus_prep_funnel_neardup(
             id_col=id_col,
         )
     drop = cluster_drop_list(exact, pair_df, id_col=id_col, text_col=text_col)
-    neardup = exact.join(drop, id_col, "left_anti")
-    qual = quality_features(neardup, text_col=text_col).filter(
-        F.col("quality_score") >= quality_min
-    )
     ev = eval_split(docs, n_eval, id_col)
     flagged = contaminated_docs(
         docs.join(ev.select(id_col), id_col, "left_anti"),
@@ -195,23 +199,39 @@ def corpus_prep_funnel_neardup(
         text_col=text_col,
         id_col=id_col,
     ).select(id_col)
-    clean = (
-        qual.join(ev.select(id_col), id_col, "left_anti")
-        .join(flagged, id_col, "left_anti")
-    )
-    report = (
-        docs.agg(F.count("*").alias("n_docs"))
-        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
-        .crossJoin(neardup.agg(F.count("*").alias("n_neardup")))
-        .crossJoin(qual.agg(F.count("*").alias("n_quality")))
-        .crossJoin(
-            clean.agg(
-                F.count("*").alias("n_clean"),
-                F.coalesce(
-                    F.sum(whitespace_token_count(text_col)), F.lit(0)
-                ).cast("long").alias("clean_tokens"),
-            )
+    # ONE annotated pass over the exact keepers (r8): the r7 form
+    # referenced the exact-dedup subtree from four independent report
+    # aggregates (n_exact, n_neardup, n_quality, clean) on top of the
+    # pair stage's own references — ~7 evaluations of the scan + hash
+    # + window shuffle.  Flags via LEFT joins (drop list, eval ids
+    # and flagged ids are all UNIQUE, so a left join marks without
+    # duplicating — row-identical to the anti-join chain) + one
+    # conditional aggregate produce identical counts with 4
+    # evaluations (2 in the pair stage, 1 in the drop-list election,
+    # 1 here).
+    ann = (
+        quality_features(exact, text_col=text_col)
+        .join(drop.withColumn("_dr", F.lit(True)), id_col, "left")
+        .join(
+            ev.select(id_col).withColumn("_ev", F.lit(True)), id_col, "left"
         )
+        .join(flagged.withColumn("_fl", F.lit(True)), id_col, "left")
+    )
+    is_kept = F.col("_dr").isNull()
+    is_qual = is_kept & (F.col("quality_score") >= quality_min)
+    is_clean = is_qual & F.col("_ev").isNull() & F.col("_fl").isNull()
+    stats = ann.agg(
+        F.count("*").alias("n_exact"),
+        F.count(F.when(is_kept, 1)).alias("n_neardup"),
+        F.count(F.when(is_qual, 1)).alias("n_quality"),
+        F.count(F.when(is_clean, 1)).alias("n_clean"),
+        F.coalesce(
+            F.sum(F.when(is_clean, whitespace_token_count(text_col))), F.lit(0)
+        ).cast("long").alias("clean_tokens"),
+    )
+    report = docs.agg(F.count("*").alias("n_docs")).crossJoin(stats).select(
+        "n_docs", "n_exact", "n_neardup", "n_quality", "n_clean",
+        "clean_tokens",
     )
     # caller-owned cache lifetime (ADVICE r6): the LSH pair source
     # persists its shingle frame (consumed by the signature AND verify

@@ -54,6 +54,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark's per-API-call site capture (error-message
+        # enrichment) costs a Python stack inspection PLUS 1-2 extra
+        # py4j round-trips on EVERY DataFrame/Column call — measured
+        # (r8): plan CONSTRUCTION of the literal-heavy embedding
+        # queries dropped 4.2 s -> 1.8 s with it off, and every query
+        # builder gets proportionally cheaper.  Pure diagnostics (the
+        # error itself is unchanged, only the "called from user
+        # line N" decoration is lost) — the production default for an
+        # engine, not a benchmark-only trick.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
