@@ -1194,17 +1194,56 @@ def source_overlap(
         F.col(source_col).alias("_src"),
         F.split(normalize_text(text_col), " ").alias("_toks"),
     ).filter(F.size("_toks") >= k)
-    sg = (
+    # r8 shape: ONE aggregate to the per-shingle source-membership
+    # list (collect_set dedups in the aggregate, replacing the r7
+    # distinct + three independent references to the distinct
+    # subtree — 8 FileScans / 10 Exchanges at sf0.1).  Per-key state
+    # is bounded by the SOURCE COUNT (each gram contributes each
+    # source once), so the membership list is driver-tiny no matter
+    # how common the gram — the same bound the r7 self-join relied
+    # on.  Pair counts and per-source totals both derive from the
+    # membership table (2 evaluations of the aggregate subtree vs 4
+    # of the distinct subtree before).
+    members = (
         toks.select("_src", shingles_from_tokens("_toks", k).alias("_sh"))
         .select("_src", F.explode_outer("_sh").alias("_s"))
-        .distinct()
+        .groupBy("_s")
+        .agg(F.array_sort(F.collect_set("_src")).alias("_srcs"))
+        .select("_srcs")
     )
-    cnt = sg.groupBy("_src").agg(F.count("*").alias("_n"))
+    cnt = (
+        members.select(F.explode("_srcs").alias("_src"))
+        .groupBy("_src")
+        .agg(F.count("*").alias("_n"))
+    )
+    # ordered source pairs per shingle: _srcs is sorted, so pairing
+    # element i with elements i+1.. gives source_a < source_b exactly
+    # as the r7 filter did
     shared = (
-        sg.withColumnsRenamed({"_src": "source_a"})
-        .join(sg.withColumnsRenamed({"_src": "source_b"}), ["_s"])
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        members.filter(F.size("_srcs") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_srcs") - 1),
+                        lambda i: F.transform(
+                            F.slice(
+                                F.col("_srcs"), (i + 1).cast("int"),
+                                F.size("_srcs"),
+                            ),
+                            lambda s2: F.struct(
+                                F.element_at(
+                                    F.col("_srcs"), i.cast("int")
+                                ).alias("source_a"),
+                                s2.alias("source_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .groupBy(F.col("_p.source_a").alias("source_a"),
+                 F.col("_p.source_b").alias("source_b"))
         .agg(F.count("*").alias("shared_shingles"))
     )
     return (
