@@ -456,7 +456,12 @@ def minhash_lsh_pairs(
     # element_at x k) is the expensive part, not the data volume.
     sh = _shingle_df(df, k, text_col, id_col).persist()
     sig = minhash_signatures(df, num_hashes, k, text_col, id_col, shingles=sh)
-    banded = _band_df(sig, bands, r)
+    # the band table feeds BOTH sides of the candidate self-join, and
+    # each reference re-runs the full signature computation
+    # (num_hashes xxhash64 evaluations per shingle — the heavy leg);
+    # persist it too (r8, measured 2.6 -> 2.1 s at sf0.1).  Same
+    # caller-owned lifetime as the shingle frame below.
+    banded = _band_df(sig, bands, r).persist()
     cand = (
         banded.alias("a")
         .join(
@@ -483,7 +488,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
-    out.lap_persisted = (sh,)
+    out.lap_persisted = (sh, banded)
     return out
 
 

@@ -122,9 +122,11 @@ def test_funnel_lsh_propagates_persisted_handle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     report = corpus_prep_funnel_neardup(docs, pairs="lsh")
     report.collect()
-    assert len(report.lap_persisted) == 1
-    (sh,) = report.lap_persisted
-    assert sh.storageLevel.useMemory
-    sh.unpersist()
-    assert not sh.storageLevel.useMemory
+    # r8: minhash_lsh_pairs persists the shingle frame AND the band
+    # table (both consumed twice) — the funnel surfaces both handles
+    assert len(report.lap_persisted) == 2
+    for f in report.lap_persisted:
+        assert f.storageLevel.useMemory
+        f.unpersist()
+        assert not f.storageLevel.useMemory
     assert corpus_prep_funnel_neardup(docs).lap_persisted == ()
