@@ -94,8 +94,9 @@ def clf_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("_nchars", F.length(c).cast("long"))
         .withColumn(
             "_npunct",
-            F.size(F.regexp_extract_all(
-                c, F.lit(r"[^\w \t\n\x0B\f\r]"), F.lit(0))).cast("long"),
+            # regexp_count == size(regexp_extract_all(..., 0)) minus
+            # the match-array materialization (r8)
+            F.regexp_count(c, F.lit(r"[^\w \t\n\x0B\f\r]")).cast("long"),
         )
         .withColumn("_t", F.split(norm, " "))
     )

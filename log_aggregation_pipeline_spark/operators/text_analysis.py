@@ -32,7 +32,10 @@ def whitespace_token_count(col: Column | str) -> Column:
 
 def bpeish_token_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPEISH_PATTERN), F.lit(0)))
+    # regexp_count == size(regexp_extract_all(..., 0)) for every
+    # pattern (both count non-overlapping matches) without
+    # materializing the match array (r8)
+    return F.regexp_count(c, F.lit(BPEISH_PATTERN))
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -67,10 +70,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(c)
     n_tokens = whitespace_token_count(text_col)
     # \w agrees across Java/RE2; whitespace is spelled out (\s does not)
-    n_punct = F.size(
-        F.regexp_extract_all(c, F.lit(r"[^\w \t\n\x0B\f\r]"), F.lit(0))
-    )
-    n_alpha = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]"), F.lit(0)))
+    # regexp_count == size(regexp_extract_all(..., 0)) without the
+    # match-array materialization (r8)
+    n_punct = F.regexp_count(c, F.lit(r"[^\w \t\n\x0B\f\r]"))
+    n_alpha = F.regexp_count(c, F.lit(r"[A-Za-z]"))
     n_stop = _token_hits(norm, STOPWORDS)
 
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
