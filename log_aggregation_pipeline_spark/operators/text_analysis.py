@@ -412,15 +412,38 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     language order — deterministic.  (The test corpus's text is
     synthetic English-ish word salad, so the interesting check is
     determinism + oracle parity, not linguistic accuracy.)"""
-    norm = normalize_text(text_col)
-    hits = {lang: _token_hits(norm, w) for lang, w in LANG_MARKERS.items()}
+    # materialize the token array ONCE and each language's hit count
+    # as its own column BEFORE the argmax fold (r8): the fold
+    # references every hit count several times (the comparison, the
+    # replacement, and transitively every later language's
+    # comparison), and inline expressions re-evaluate per reference —
+    # the inlined form re-ran normalize+split+filter a dozen times
+    # per row (measured 2.4 s -> 0.7 s at sf0.1 for the projection).
+    toks = df.withColumn("_lang_toks", F.split(normalize_text(text_col), " "))
+
+    def _hits_col(words: tuple[str, ...]) -> Column:
+        # factory function, NOT a defaulted lambda arg: PySpark HOF
+        # lambdas dispatch on arity, and a second (even defaulted)
+        # parameter selects the (element, index) form (r5 gotcha)
+        return F.size(
+            F.filter(F.col("_lang_toks"), lambda t: t.isin(*words))
+        )
+
+    hits_df = toks.withColumns(
+        {f"_lh_{lang}": _hits_col(w) for lang, w in LANG_MARKERS.items()}
+    )
     best = F.lit("und")
     best_n = F.lit(0)
     for lang in LANG_MARKERS:  # fixed order = deterministic ties
-        take = hits[lang] > best_n
+        h = F.col(f"_lh_{lang}")
+        take = h > best_n
         best = F.when(take, F.lit(lang)).otherwise(best)
-        best_n = F.when(take, hits[lang]).otherwise(best_n)
-    out = df.withColumn("lang_pred", best).withColumn("lang_hits", best_n)
+        best_n = F.when(take, h).otherwise(best_n)
+    out = (
+        hits_df.withColumn("lang_pred", best)
+        .withColumn("lang_hits", best_n)
+        .drop("_lang_toks", *[f"_lh_{lang}" for lang in LANG_MARKERS])
+    )
     return out
 
 
