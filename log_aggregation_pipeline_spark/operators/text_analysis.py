@@ -1245,7 +1245,7 @@ def source_overlap(
         toks.select("_src", shingles_from_tokens("_toks", k).alias("_sh"))
         .select("_src", F.explode_outer("_sh").alias("_s"))
         .groupBy("_s")
-        .agg(F.array_sort(F.collect_set("_src")).alias("_srcs"))
+        .agg(F.collect_set("_src").alias("_srcs"))
         .select("_srcs")
     )
     cnt = (
@@ -1253,26 +1253,20 @@ def source_overlap(
         .groupBy("_src")
         .agg(F.count("*").alias("_n"))
     )
-    # ordered source pairs per shingle: _srcs is sorted, so pairing
-    # element i with elements i+1.. gives source_a < source_b exactly
-    # as the r7 filter did
+    # ordered source pairs per shingle by string comparison inside the
+    # pair HOF — each unordered pair emitted once with a < b, no sort
+    # needed (the ngram_jaccard_pairs pair-generation shape)
     shared = (
         members.filter(F.size("_srcs") >= 2)
         .select(
             F.explode(
                 F.flatten(
                     F.transform(
-                        F.sequence(F.lit(1), F.size("_srcs") - 1),
-                        lambda i: F.transform(
-                            F.slice(
-                                F.col("_srcs"), (i + 1).cast("int"),
-                                F.size("_srcs"),
-                            ),
+                        F.col("_srcs"),
+                        lambda s1: F.transform(
+                            F.filter(F.col("_srcs"), lambda s2: s2 > s1),
                             lambda s2: F.struct(
-                                F.element_at(
-                                    F.col("_srcs"), i.cast("int")
-                                ).alias("source_a"),
-                                s2.alias("source_b"),
+                                s1.alias("source_a"), s2.alias("source_b")
                             ),
                         ),
                     )
