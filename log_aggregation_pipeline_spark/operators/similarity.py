@@ -296,7 +296,16 @@ def write_bucketed_by_cluster(
     no-Exchange property is pinned in tests/test_plans.py).  External
     table: data lives under ``path``, only metadata enters the session
     catalog, under a name derived from the path so materializations to
-    different dirs coexist."""
+    different dirs coexist.
+
+    Catalog lifetime (ADVICE r7): the table entry outlives the
+    returned frame — a caller that deletes ``path`` afterwards (bench
+    rep loops with mkdtemp scratch dirs) leaves a dangling catalog
+    entry until session end; ``spark.sql(f"DROP TABLE IF EXISTS
+    {name}")`` with the path-derived name clears it once the frame is
+    no longer needed.  Repeated writes to the SAME path reuse the one
+    entry (mode overwrite), so long-lived fixed-path callers do not
+    accumulate."""
     import hashlib
 
     spark = df.sparkSession
