@@ -547,3 +547,63 @@ def test_ivf_write_bucketed_self_join_no_exchange(spark, tmp_path_factory):
     assert "Exchange" not in p
     # and the join is real (row-level sanity, not just plan text)
     assert j.count() > 0
+
+
+def test_semdedup_fold_not_inlined_into_filters(spark):
+    """r8: the cluster id is non-nullable by construction (coalesce to
+    a sentinel), so the pair join must NOT push an isnotnull(cluster)
+    filter that inlines the centroid dot-fold into a Filter operator
+    (the filter-on-nested-HOF gotcha — each row would pay the 8x64
+    fold 2 extra times per join side, outside whole-stage codegen).
+    Every Filter condition in the plan must be fold-free."""
+    import re
+
+    from log_aggregation_pipeline_spark.operators.dedupe import semdedup_pairs
+    from log_aggregation_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    p = plan_of(semdedup_pairs(emb, cent, threshold=0.3))
+    # formatted/toString plans put each Filter's condition on its own
+    # line ("+- Filter <cond>"); none may contain an aggregate() fold
+    for line in p.splitlines():
+        if re.search(r"\bFilter\b", line):
+            assert "aggregate(" not in line, line[:200]
+
+
+def test_ngram_jaccard_single_shingle_pass_shape(spark):
+    """r8: the jaccard pair source feeds everything from the exploded
+    shingle pass — the set size rides each row and pairs are GENERATED
+    per shingle, so the plan holds exactly 2 evaluations of the
+    documents scan (the count pre-filter + the member collect), not
+    the 6 the self-join + sizes-join form needed (12 scans at r7)."""
+    from log_aggregation_pipeline_spark.operators.dedupe import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(ngram_jaccard_pairs(docs, max_shingle_freq=1000))
+    assert p.count("FileScan") <= 2, p.count("FileScan")
+    # and no join remains at all: pair counts come from an aggregate
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_connected_components_tolerates_duplicate_edges(spark):
+    """r8 dropped the edge distinct() (every repo pair source is
+    already duplicate-free); min-label propagation must stay correct
+    if an external caller passes a duplicated pair list anyway."""
+    from log_aggregation_pipeline_spark.operators.cluster import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 2), (2, 3), (10, 11), (10, 11)],
+        ["a_id", "b_id"],
+    )
+    out = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
